@@ -1,0 +1,117 @@
+"""J1 — MERGE apply: batch-final rows vs current state (plus J3/J4 helpers).
+
+Replaces the reference pipeline's full-overwrite upload (SURVEY.md §2.A
+R10) with an incremental, replay-idempotent upsert:
+
+- batch op 'I'/'U' -> upsert (U on a missing key inserts — the log may
+  legitimately carry U-on-dead-key);
+- batch op 'D'     -> remove the key;
+- LSN monotonicity guard: a batch row only wins if its lsn >= the state
+  row's ``_lsn``, so re-applying an old batch (exactly-once replay, crash
+  resume) is a no-op row-by-row.
+
+Physical plan notes: the join is a full_outer on the key columns; both
+sides carry the same ``part = pmod(xxhash64(repo), P)`` bucketing column
+(functionally dependent on repo), letting the committer rewrite only
+touched partitions (J4) and Catalyst prune untouched state files. At
+cluster scale AQE picks SMJ and splits skewed key ranges.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc.dedup import KEY_COLS
+
+SYS_COLS = ("_lsn", "_updated_ts", "_content_sha256")
+
+
+def with_content_sha(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """F1 — materialize the per-row invariant column (built-in sha2; the
+    tempting per-row Python hash UDF is exactly what the spec bans)."""
+    return df.withColumn("_content_sha256", F.sha2(F.col(content_col), 256))
+
+
+def merge_apply(
+    state: DataFrame,
+    batch_final: DataFrame,
+    keys: Sequence[str] = KEY_COLS,
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Return the new state: state FULL OUTER JOIN batch_final on keys,
+    resolved per the CDC rules above.
+
+    ``state``       — columns: keys + value_cols + SYS_COLS.
+    ``batch_final`` — one row per key (already LWW-collapsed): keys +
+                      value_cols + (lsn, ts, op, batch_id).
+    """
+    if value_cols is None:
+        value_cols = [c for c in batch_final.columns
+                      if c not in (*keys, "lsn", "ts", "op", "batch_id", "schema_version")]
+
+    b = batch_final.select(
+        *[F.col(k).alias(f"_b_{k}") for k in keys],
+        *[F.col(c).alias(f"_bv_{c}") for c in value_cols],
+        F.col("lsn").alias("_b_lsn"),
+        F.col("ts").alias("_b_ts"),
+        F.col("op").alias("_b_op"),
+    )
+    cond = None
+    for k in keys:
+        c = state[k] == b[f"_b_{k}"]
+        cond = c if cond is None else (cond & c)
+    joined = state.join(b, cond, "full_outer")
+
+    batch_wins = F.col("_b_lsn").isNotNull() & (
+        F.col("_lsn").isNull() | (F.col("_b_lsn") >= F.col("_lsn"))
+    )
+    # delete rows where the winning batch op is 'D'; keep everything else
+    out = joined.filter(~(batch_wins & (F.col("_b_op") == "D")))
+    batch_wins_live = batch_wins  # post-filter, batch_wins implies op != 'D'
+
+    sel = [F.coalesce(state[k], F.col(f"_b_{k}")).alias(k) for k in keys]
+    for c in value_cols:
+        sel.append(F.when(batch_wins_live, F.col(f"_bv_{c}")).otherwise(state[c] if c in state.columns else F.lit(None)).alias(c))
+    new_sha = (
+        F.sha2(F.col("_bv_content"), 256) if "content" in value_cols else F.lit(None).cast("string")
+    )
+    sel += [
+        F.when(batch_wins_live, F.col("_b_lsn")).otherwise(F.col("_lsn")).alias("_lsn"),
+        F.when(batch_wins_live, F.col("_b_ts")).otherwise(F.col("_updated_ts")).alias("_updated_ts"),
+        F.when(batch_wins_live, new_sha).otherwise(F.col("_content_sha256")).alias("_content_sha256"),
+    ]
+    return out.select(*sel)
+
+
+def empty_state(spark, batch_final: DataFrame, keys: Sequence[str] = KEY_COLS,
+                value_cols: Sequence[str] | None = None) -> DataFrame:
+    """An empty current-state DataFrame whose schema matches what
+    merge_apply produces for the given batch shape."""
+    if value_cols is None:
+        value_cols = [c for c in batch_final.columns
+                      if c not in (*keys, "lsn", "ts", "op", "batch_id", "schema_version")]
+    import pyspark.sql.types as T
+
+    b = batch_final.schema
+    fields = [T.StructField(k, b[k].dataType) for k in keys]
+    fields += [T.StructField(c, b[c].dataType) for c in value_cols]
+    fields += [
+        T.StructField("_lsn", T.LongType()),
+        T.StructField("_updated_ts", T.TimestampType()),
+        T.StructField("_content_sha256", T.StringType()),
+    ]
+    return spark.createDataFrame([], T.StructType(fields))
+
+
+def affected_keys(batch: DataFrame, state: DataFrame, keys: Sequence[str] = KEY_COLS) -> DataFrame:
+    """J3 — keys present in the batch but absent from state (pure inserts)."""
+    return batch.select(*keys).distinct().join(state.select(*keys), list(keys), "left_anti")
+
+
+def touched(state: DataFrame, batch: DataFrame, on: Sequence[str], how: str = "left_semi") -> DataFrame:
+    """J4 — state rows whose join key appears in the batch (e.g. touched
+    partitions: on=['part'])."""
+    return state.join(batch.select(*on).distinct(), list(on), how)
