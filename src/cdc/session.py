@@ -26,6 +26,14 @@ def get_spark(
     ``cores`` — int N -> ``local[N]``; "*" -> all cores; None -> respect an
     already-running session or $SPARK_GRAFT_CPUS (driver contract) or "*".
     """
+    # Python workers (pandas-UDF executors) must be able to import cdc.*;
+    # on a real cluster this is `spark-submit --py-files dist/cdc.zip`,
+    # in local mode the workers inherit PYTHONPATH from the driver env.
+    src_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if src_dir not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{src_dir}{os.pathsep}{pp}" if pp else src_dir
+
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]"

@@ -1,0 +1,160 @@
+"""M2 gate — transactional table: full/chunked replay parity vs the pandas
+oracle, exactly-once resume, crash atomicity, schema evolution, time travel."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc import pipeline
+from cdc.io.log import read_log
+from cdc.meta import store
+from cdc.metrics import read_metrics
+from cdc.schema.registry import default_registry
+from cdc.table.table import CdcTable
+from cdc.testing.gen import gen_change_events, write_change_log
+from cdc.testing.oracle import expected_state
+
+N_KEYS, MEAN = 300, 8
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cdclog"))
+    ev = gen_change_events(spark, n_keys=N_KEYS, mean_events_per_key=MEAN, seed=11)
+    write_change_log(ev, d, events_per_file=200)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle_pdf(spark, log_dir):
+    reg = default_registry()
+    return expected_state(read_log(spark, log_dir, reg).toPandas())
+
+
+def _table(tmp_path, **kw) -> CdcTable:
+    return CdcTable(str(tmp_path / "tbl"), n_partitions=8, **kw)
+
+
+def _state_keyset(spark, table):
+    df = table.read(spark)
+    return set(
+        map(tuple, df.select("repo", "path", F.sha2("content", 256).alias("h"))
+            .toPandas().values)
+    )
+
+
+def _oracle_keyset(oracle_pdf):
+    return set(map(tuple, oracle_pdf[["repo", "path", "content_sha256"]].values))
+
+
+def test_full_replay_matches_oracle(spark, log_dir, oracle_pdf, tmp_path):
+    t = _table(tmp_path)
+    res = pipeline.replay(spark, log_dir, t)
+    assert res.n_commits == 1
+    assert _state_keyset(spark, t) == _oracle_keyset(oracle_pdf)
+    # sha column materialized by the merge matches recomputation
+    df = t.read(spark)
+    bad = df.filter(F.col("_content_sha256") != F.sha2("content", 256)).count()
+    assert bad == 0
+
+
+def test_chunked_replay_and_resume(spark, log_dir, oracle_pdf, tmp_path):
+    t = _table(tmp_path)
+    reg = default_registry()
+    # simulate a crash: replay only the first half of the log, chunked
+    mid = read_log(spark, log_dir, reg).agg(F.expr("percentile(lsn, 0.5)")).collect()[0][0]
+    half = read_log(spark, log_dir, reg, upto_lsn=int(mid))
+    pipeline.apply_batch(spark, t, half, "first-half")
+    lsn_after_half = t.lsn_high()
+    assert lsn_after_half <= mid
+    # resume: full chunked replay from the checkpoint
+    res = pipeline.replay(spark, log_dir, t, batches_per_commit=2)
+    assert res.n_commits >= 1
+    assert t.lsn_high() > lsn_after_half
+    assert _state_keyset(spark, t) == _oracle_keyset(oracle_pdf)
+    # replaying again from scratch is a no-op (ledger + lsn checkpoint)
+    snap_before = t.current_snapshot()["snapshot_id"]
+    res2 = pipeline.replay(spark, log_dir, t, batches_per_commit=2)
+    assert res2.n_commits == 0
+    assert t.current_snapshot()["snapshot_id"] == snap_before
+
+
+def test_duplicate_epoch_is_noop(spark, log_dir, tmp_path):
+    t = _table(tmp_path)
+    reg = default_registry()
+    ev = read_log(spark, log_dir, reg, upto_lsn=500)
+    s1 = pipeline.apply_batch(spark, t, ev, "epoch-1")
+    s2 = pipeline.apply_batch(spark, t, ev, "epoch-1")  # redelivered epoch
+    assert s1["snapshot_id"] == s2["snapshot_id"]
+
+
+def test_crash_before_pointer_swap_leaves_table_intact(spark, log_dir, tmp_path, monkeypatch):
+    t = _table(tmp_path)
+    reg = default_registry()
+    pipeline.apply_batch(spark, t, read_log(spark, log_dir, reg, upto_lsn=500), "e1")
+    before = t.current_snapshot()
+    count_before = t.read(spark).count()
+
+    def boom(root, snap):
+        raise RuntimeError("injected crash before commit point")
+
+    monkeypatch.setattr(store, "write_snapshot", boom)
+    with pytest.raises(RuntimeError):
+        pipeline.apply_batch(spark, t, read_log(spark, log_dir, reg, after_lsn=500), "e2")
+    monkeypatch.undo()
+    # table unchanged and fully readable despite orphaned staged files
+    assert t.current_snapshot()["snapshot_id"] == before["snapshot_id"]
+    assert t.read(spark).count() == count_before
+    # retry succeeds and the staged dir is reused, not duplicated
+    pipeline.apply_batch(spark, t, read_log(spark, log_dir, reg, after_lsn=500), "e2")
+    assert t.current_snapshot()["snapshot_id"] == before["snapshot_id"] + 1
+
+
+def test_schema_evolution_end_state(spark, log_dir, tmp_path):
+    t = _table(tmp_path)
+    pipeline.replay(spark, log_dir, t)
+    schema = dict((f.name, f.dataType.simpleString()) for f in t.read(spark).schema.fields)
+    assert schema["size_bytes"] == "bigint"  # widened int -> bigint
+    assert schema["score"] == "double"       # widened float -> double
+    df = t.read(spark)
+    # v2+-era survivors carry size_bytes == length(content)
+    n_bad = df.filter(F.col("size_bytes").isNotNull() & (F.col("size_bytes") != F.length("content"))).count()
+    assert n_bad == 0
+    assert df.filter(F.col("size_bytes").isNotNull()).count() > 0
+
+
+def test_time_travel_snapshot_read(spark, log_dir, tmp_path):
+    t = _table(tmp_path)
+    reg = default_registry()
+    pipeline.replay(spark, log_dir, t, batches_per_commit=2)
+    snaps = t.snapshots()
+    assert len(snaps) >= 2
+    mid_snap = snaps[len(snaps) // 2]
+    got = t.read(spark, snapshot_id=mid_snap["snapshot_id"])
+    exp = expected_state(read_log(spark, log_dir, reg, upto_lsn=mid_snap["lsn_high"]).toPandas())
+    got_set = set(map(tuple, got.select("repo", "path", F.sha2("content", 256)).toPandas().values))
+    exp_set = set(map(tuple, exp[["repo", "path", "content_sha256"]].values))
+    assert got_set == exp_set
+
+
+def test_lineage_metrics_written(spark, log_dir, tmp_path):
+    t = _table(tmp_path)
+    pipeline.replay(spark, log_dir, t, batches_per_commit=3)
+    m = read_metrics(spark, t.root).toPandas()
+    assert len(m) > 0
+    assert (m.n_events == m.n_ins + m.n_upd + m.n_del).all()
+    assert m.n_dedup_dropped.sum() > 0  # generator injects ~2% duplicates
+    assert m.wall_ms.gt(0).all()
+
+
+def test_normalization_affects_sha(spark, tmp_path):
+    """The pandas-UDF normalization is part of the hashed contract."""
+    from cdc.schema.normalize import normalize_content
+
+    df = spark.createDataFrame([("a \r\nb\t\n c  ",)], ["content"])
+    out = df.select(normalize_content("content").alias("n")).collect()[0]["n"]
+    assert out == "a\nb\n c"
+    assert hashlib.sha256(out.encode()).hexdigest() != hashlib.sha256(b"a \r\nb\t\n c  ").hexdigest()
