@@ -1,38 +1,86 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC merge on sf0.001.
+``queries()`` / ``oracle_sql()`` — the parity library from
+``src/cdc/parity/*``: one entry per implemented operator of SURVEY.md §2.B
+plus the training-data-pipeline operator families (dedup, ANN, text,
+multimodal). Queries without an oracle entry (HLL sketches, the full
+transactional replay) get the driver's rows-only check; everything else is
+hash-compared against DuckDB at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "src")
+if _SRC not in sys.path:
+    sys.path.insert(0, _SRC)
+# local-mode Python workers inherit the driver env; spark-submit clusters use
+# --py-files (scripts/make_dist.py) or the addPyFile shipment below.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in [_SRC, os.environ.get("PYTHONPATH", "")] if p)
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``cdc`` importable on executor Python workers regardless of how
+    the session was built (the driver creates its own SparkSession): zip
+    src/cdc once and addPyFile it — the programmatic twin of
+    ``spark-submit --py-files dist/cdc.zip``."""
+    sc = spark.sparkContext
+    if getattr(sc, "_cdc_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "cdc_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(_SRC, "cdc")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _SRC))
+    sc.addPyFile(zpath)
+    sc._cdc_shipped = True
+
+
+def _library() -> tuple[dict, dict]:
+    from cdc.parity import events_cdc, functions, multimodal_q, relational, textops, udf_q, vectors_q
+    from cdc.parity.common import merge_dicts
+
+    queries, oracles = merge_dicts(events_cdc, relational, functions, textops,
+                                   vectors_q, multimodal_q, udf_q)
+
+    def with_shipment(fn):
+        def wrapped(spark, sf_dir, _fn=fn):
+            _ship_package(spark)
+            return _fn(spark, sf_dir)
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        return wrapped
+
+    return {k: with_shipment(v) for k, v in queries.items()}, oracles
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: two-batch CDC MERGE of the
+    events log into live per-user state (full-outer resolve + delete
+    semantics + sha256 invariant)."""
+    queries_, _ = _library()
+    return queries_["j1_merge_full_outer"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return _library()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (omitted for non-SQL-expressible
+    ops: approx sketches, the transactional replay pipeline)."""
+    return _library()[1]

@@ -1,0 +1,56 @@
+"""Multimodal parity queries: binary payload column + mapInPandas decode
+stub + frame sampling. The fake decoder is pure arithmetic on byte length,
+so DuckDB can verify the whole pipeline (octet_length of the utf-8 payload
+== the bytes seen by the Python worker)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc.mm import decode_image_meta, sample_frames, with_binary_payload
+from cdc.parity.common import load
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+@q("mm_decode_meta", """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       CAST(64 + n % 512 AS INT) AS width,
+       CAST(64 + (n * 7) % 512 AS INT) AS height,
+       CASE WHEN n % 2 = 0 THEN 'png' ELSE 'jpg' END AS fmt,
+       n > 0 AS ok
+FROM b
+""")
+def mm_decode_meta(spark, sf_dir):
+    """Binary payload -> mapInPandas metadata decode (Arrow-batched; the
+    image-decode seam with the deterministic fake codec)."""
+    d = load(spark, sf_dir, "documents")
+    return decode_image_meta(with_binary_payload(d))
+
+
+@q("mm_sample_frames", """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+f AS (
+  SELECT doc_id, n, unnest(generate_series(0, CAST(ceil(n / 256.0) AS BIGINT) - 1)) AS i
+  FROM b WHERE n > 0
+)
+SELECT doc_id, CAST(i AS INT) AS frame_no, CAST(i * 256 AS INT) AS "offset",
+       CAST(least(256, n - i * 256) AS INT) AS frame_len
+FROM f
+""")
+def mm_sample_frames(spark, sf_dir):
+    """Frame sampling: 1 -> N row fan-out through mapInPandas (the video
+    frame-extraction shape)."""
+    d = load(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(d), every_n_bytes=256)

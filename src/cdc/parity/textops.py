@@ -1,0 +1,300 @@
+"""Text analysis + deduplication operators over the ``documents`` table.
+
+The training-data-pipeline operator family: exact dedup, MinHash+LSH,
+SimHash, n-gram Jaccard, plus language-ID, quality scoring, token counting
+and document fingerprinting. Everything is built from JVM-side column
+expressions (split/transform/md5/conv/explode) — no Python in the hot path
+— and every step has a DuckDB-oracle formulation with identical hash
+functions (md5), so candidate pairs match exactly.
+
+Scale notes: the shingle explode is the classic map-side blowup (~n_words
+rows per doc); at 100 TB this runs as repartition-by-doc before the
+signature groupBy so partial aggregation collapses shingles locally. The
+LSH band join is an equi-join on (band, bucket) — shuffle-partitioned,
+broadcast-free, skew bounded by band-bucket cardinality. The all-pairs
+Jaccard join is quadratic per shingle bucket and exists as the *oracle
+path*; LSH is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc.parity.common import load
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+N_MINHASH = 8   # minhash signature length
+LSH_BANDS = 4   # bands (rows per band = N_MINHASH // LSH_BANDS)
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "row", "table", "value")
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents")
+
+
+def _corpus(spark, sf_dir) -> DataFrame:
+    """Documents plus injected exact duplicates (doc_id % 50 == 0 rows
+    re-appear with doc_id + 100000) so dedup queries have true positives.
+    The oracle injects the same rows."""
+    d = _docs(spark, sf_dir)
+    dup = (d.filter(F.col("doc_id") % 50 == 0)
+           .withColumn("doc_id", F.col("doc_id") + 100000))
+    return d.unionByName(dup)
+
+
+_CORPUS_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+)
+"""
+
+# words / shingles CTE shared by several oracles
+_SHINGLE_SQL = _CORPUS_SQL + """,
+w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) g
+)
+"""
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc, as (doc_id, shingle) rows.
+    Pure column ops: split -> transform(sequence) -> explode."""
+    words = F.split(F.trim(F.col("text")), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(words, (i + k + 1).cast("int")) for k in range(n)]))
+    return (df.select("doc_id", F.explode(sh).alias("shingle"))
+            .dropDuplicates(["doc_id", "shingle"]))
+
+
+@q("txt_token_count", """
+SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+FROM documents
+""")
+def txt_token_count(spark, sf_dir):
+    """Token counting (whitespace tokenizer)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"))
+
+
+@q("txt_quality", """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words,
+         length(text) AS n_char
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_char AS BIGINT) AS n_char,
+       CAST(len(words) AS INT) AS n_tokens,
+       round(CAST(n_char AS DOUBLE) / len(words), 4) AS chars_per_token,
+       round(CAST(len(list_filter(words, x -> list_contains(
+           ['the','a','of','and','in','to','is','row','table','value'], x))) AS DOUBLE)
+             / len(words), 4) AS stopword_ratio,
+       CASE WHEN len(words) >= 5 AND CAST(n_char AS DOUBLE) / len(words) BETWEEN 2 AND 12
+            THEN true ELSE false END AS is_good
+FROM t
+""")
+def txt_quality(spark, sf_dir):
+    """Quality scoring: length stats + stopword ratio + a keep/drop flag
+    (the C4/Gopher-style filter shape, deterministic version)."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    t = d.select("doc_id", F.length("text").alias("n_char"), words.alias("words"))
+    cpt = F.round(F.col("n_char").cast("double") / F.size("words"), 4)
+    swr = F.round(
+        F.size(F.filter("words", lambda x: F.array_contains(stop, x))).cast("double")
+        / F.size("words"), 4)
+    return t.select(
+        "doc_id", F.col("n_char").cast("long").alias("n_char"),
+        F.size("words").alias("n_tokens"),
+        cpt.alias("chars_per_token"),
+        swr.alias("stopword_ratio"),
+        ((F.size("words") >= 5) & cpt.between(2, 12)).alias("is_good"))
+
+
+@q("txt_langid", """
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(list_filter(words, x -> list_contains(
+           ['the','a','of','and','in','to','is','row','table','value'], x))) AS BIGINT) AS en_hits,
+       CASE WHEN len(list_filter(words, x -> list_contains(
+           ['the','a','of','and','in','to','is','row','table','value'], x))) * 5 >= len(words)
+            THEN 'en' ELSE 'unk' END AS predicted
+FROM t
+""")
+def txt_langid(spark, sf_dir):
+    """Language-ID via stopword-hit heuristic (n-gram/marker counting —
+    deterministic stand-in for a real fastText-style model)."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    t = d.select("doc_id", "lang", words.alias("words"))
+    hits = F.size(F.filter("words", lambda x: F.array_contains(stop, x))).cast("long")
+    return t.select(
+        "doc_id", "lang", hits.alias("en_hits"),
+        F.when(hits * 5 >= F.size("words"), "en").otherwise("unk").alias("predicted"))
+
+
+@q("txt_fingerprint", _SHINGLE_SQL + """
+SELECT s.doc_id, md5(c.text) AS fingerprint, min(md5(s.shingle)) AS min_shingle_hash
+FROM sh s JOIN corpus c USING (doc_id)
+GROUP BY s.doc_id, md5(c.text)
+""")
+def txt_fingerprint(spark, sf_dir):
+    """Document fingerprinting: whole-doc hash + min rolling 3-gram shingle
+    hash (the MinHash k=1 special case)."""
+    c = _corpus(spark, sf_dir)
+    sh = _shingles(c)
+    fp = c.select("doc_id", F.md5("text").alias("fingerprint"))
+    return (sh.groupBy("doc_id")
+            .agg(F.min(F.md5("shingle")).alias("min_shingle_hash"))
+            .join(fp, "doc_id")
+            .select("doc_id", "fingerprint", "min_shingle_hash"))
+
+
+@q("dedup_exact_docs", _CORPUS_SQL + """
+SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keeper
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+""")
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content hash; keeper = min doc_id
+    (map-side partial agg collapses copies before the shuffle)."""
+    c = _corpus(spark, sf_dir)
+    return (c.groupBy(F.md5("text").alias("content_hash"))
+            .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
+            .filter(F.col("n_copies") > 1))
+
+
+_MINHASH_COLS = ", ".join(
+    f"min(md5('{k}:' || shingle)) AS mh{k}" for k in range(N_MINHASH))
+_BAND_SQL = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig".format(
+        b=b, cols=" || ".join(f"mh{k}" for k in range(b * (N_MINHASH // LSH_BANDS),
+                                                      (b + 1) * (N_MINHASH // LSH_BANDS))))
+    for b in range(LSH_BANDS))
+
+
+@q("dedup_minhash_lsh", _SHINGLE_SQL + f""",
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+""")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH near-dup candidates: shingle -> K seeded md5 minhashes
+    -> banded bucket hash -> equi-self-join on (band, bucket).
+
+    The scale path: cost is linear in corpus size + bucket-join fan-out;
+    never all-pairs."""
+    c = _corpus(spark, sf_dir)
+    sh = _shingles(c)
+    r = N_MINHASH // LSH_BANDS
+    sig = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"mh{k}")
+        for k in range(N_MINHASH)])
+    bands = None
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh{k}") for k in range(b * r, (b + 1) * r)]
+        part = sig.select("doc_id", F.lit(b).alias("band"),
+                          F.md5(F.concat(*cols)).alias("bucket"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    return (a.join(b2, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+@q("dedup_ngram_jaccard", _SHINGLE_SQL + """,
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup: exact set similarity via shingle self-join
+    (the oracle/verification path; LSH above is the candidate generator at
+    scale)."""
+    c = _corpus(spark, sf_dir)
+    sh = _shingles(c)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .filter(jac >= 0.5)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+
+
+_SIMHASH_BITS = 16
+_SIM_BIT_SQL = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))
+
+
+@q("dedup_simhash", _CORPUS_SQL + """,
+w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM corpus
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 4))::BIGINT AS h FROM w)
+SELECT doc_id, CAST(""" + _SIM_BIT_SQL + """ AS BIGINT) AS simhash
+FROM h GROUP BY doc_id
+""")
+def dedup_simhash(spark, sf_dir):
+    """SimHash signatures: 16-bit bitwise-majority over distinct-word
+    hashes (md5-derived, identical on both sides). Near-dups share
+    signatures within small Hamming distance; exact copies collide."""
+    c = _corpus(spark, sf_dir)
+    w = (c.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
+         .dropDuplicates(["doc_id", "word"]))
+    h = w.select("doc_id",
+                 F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long").alias("h"))
+    bit_votes = [
+        F.sum(F.when((F.col("h").bitwiseAND(F.lit(1 << j))) > 0, 1).otherwise(-1)).alias(f"v{j}")
+        for j in range(_SIMHASH_BITS)]
+    votes = h.groupBy("doc_id").agg(*bit_votes)
+    sim = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
