@@ -1,0 +1,113 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline: end-to-end CDC replay (seeded change-event log -> exact dedup ->
+pandas-UDF normalization -> LWW collapse -> transactional partitioned MERGE
+commit -> lineage metrics), reported both as wall seconds and as
+events/sec. Plus the hot operators from the parity library at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env knobs (driver contract):
+  SPARK_GRAFT_SF_DIR  — testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    — local[N] parallelism (default 32)
+  CDC_BENCH_KEYS      — replay key count (default 60000, ~600k events)
+
+Usage: python bench.py            # one JSON line on stdout
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_keys = int(os.environ.get("CDC_BENCH_KEYS", "60000"))
+
+    from cdc.session import get_spark
+    spark = get_spark("cdc-bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+    import __spark_entry__ as em
+    queries = em.queries()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # ---- headline: CDC replay throughput ---------------------------------
+    from cdc.pipeline import replay
+    from cdc.table.table import CdcTable
+    from cdc.testing.gen import gen_change_events, write_change_log
+
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="cdc_bench_", dir=scratch)
+    try:
+        log_dir = os.path.join(work, "log")
+        ev = gen_change_events(spark, n_keys=n_keys, mean_events_per_key=10, seed=11)
+        write_change_log(ev, log_dir, events_per_file=50_000)
+        n_events = spark.read.parquet(f"{log_dir}/v=1", f"{log_dir}/v=2").count() + \
+            spark.read.parquet(f"{log_dir}/v=3").count()
+
+        # cold = first full replay (plan compile + JIT); steady = min of 3
+        # further replays of the same log into fresh tables (methodology in
+        # BASELINE.md — steady-state is what a long-running ingest job sees)
+        reps = []
+        table = None
+        for i in range(4):
+            table = CdcTable(os.path.join(work, f"t{i}"), n_partitions=max(cpus, 8))
+            t0 = time.monotonic()
+            replay(spark, log_dir, table, batches_per_commit=None, metrics=True)
+            reps.append(time.monotonic() - t0)
+        timings["cdc_replay_cold"] = round(reps[0], 3)
+        replay_s = min(reps[1:])
+        timings["cdc_replay"] = round(replay_s, 3)
+        events_per_sec = int(n_events / replay_s)
+
+        # incremental tail: +1 batch group of fresh events onto existing state
+        ev2 = gen_change_events(spark, n_keys=n_keys // 10, mean_events_per_key=4, seed=12)
+        from pyspark.sql import functions as F
+        hi = table.lsn_high()
+        ev2 = ev2.withColumn("lsn", F.col("lsn") + hi)
+        log2 = os.path.join(work, "log2")
+        write_change_log(ev2, log2, events_per_file=50_000)
+        timed("cdc_incremental_tail",
+              lambda: replay(spark, log2, table, batches_per_commit=None, metrics=True))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # ---- parity-library hot operators at sf ------------------------------
+    bench_queries = [
+        "w1_lww_salted", "a4_lww_maxby", "j1_merge_full_outer",
+        "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_region_volume",
+        "w3_running_sum", "dedup_minhash_lsh", "dedup_simhash",
+        "ann_cosine_topk", "txt_quality", "v1_normalize_sha", "mm_decode_meta",
+    ]
+    for name in bench_queries:
+        timed(name, lambda n=name: queries[n](spark, sf_dir).write
+              .format("noop").mode("overwrite").save())
+
+    out = {
+        "metric": "cdc_replay_plus_operator_suite",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "replay_events": n_events,
+        "replay_events_per_sec": events_per_sec,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,19 +16,26 @@ from pyspark.sql import functions as F
 LATE_SECONDS = 600  # watermark analog: events >10 min behind the partition max
 
 
-def batch_lineage_metrics(events_raw: DataFrame, events_deduped: DataFrame,
-                          part_col: str = "part") -> DataFrame:
+def batch_lineage_metrics(events_raw: DataFrame, part_col: str = "part") -> DataFrame:
     """Per-partition counters for one batch: op mix, dedup drops, late rows,
     lsn bounds, distinct-path cardinality (HLL).
+
+    Single-pass over the raw (pre-dedup) stream, and the scan never touches
+    the wide ``content`` column — duplicate-delivery accounting is a
+    count(distinct (batch_id, lsn)) rather than a materialized dedup, so
+    the metrics job shuffles narrow key/count columns only. (The merge path
+    itself doesn't need a dedup pass at all: verbatim re-deliveries collapse
+    inside the LWW max_by/row_number — cdc.pipeline.apply_batch.)
 
     "Late" is measured against the *partition* max ts (a per-partition
     window, parallel by construction) rather than a global max, which would
     need a single-task global window."""
+    narrow = events_raw.select(part_col, "batch_id", "lsn", "ts", "op", "path")
+    raw = narrow.groupBy(part_col).agg(F.count(F.lit(1)).alias("n_raw"))
+    ded = narrow.dropDuplicates(["batch_id", "lsn"])
     max_ts = F.max("ts").over(Window.partitionBy(part_col))
-    raw = events_raw.groupBy(part_col).agg(F.count(F.lit(1)).alias("n_raw"))
-    ded = (
-        events_deduped
-        .withColumn("_batch_max_ts", max_ts)
+    agg = (
+        ded.withColumn("_batch_max_ts", max_ts)
         .groupBy(part_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -41,10 +48,10 @@ def batch_lineage_metrics(events_raw: DataFrame, events_deduped: DataFrame,
             F.approx_count_distinct("path").alias("approx_paths"),
         )
     )
-    return (
-        raw.join(ded, part_col, "full_outer")
-        .withColumn("n_dedup_dropped", F.coalesce(F.col("n_raw"), F.lit(0)) - F.coalesce(F.col("n_events"), F.lit(0)))
-    )
+    return (raw.join(agg, part_col, "full_outer")
+            .withColumn("n_dedup_dropped",
+                        F.coalesce(F.col("n_raw"), F.lit(0))
+                        - F.coalesce(F.col("n_events"), F.lit(0))))
 
 
 def write_batch_metrics(metrics: DataFrame, table_root: str, batch_key: str,

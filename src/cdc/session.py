@@ -57,6 +57,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("CDC_DRIVER_MEM", "24g"))
     )
+    # Shuffle/spill to tmpfs when available: local-mode shuffles are pure
+    # scratch, and the sandbox's shared disk has high I/O variance. A real
+    # cluster sets spark.local.dir via the cluster manager (SSD/NVMe).
+    if os.path.isdir("/dev/shm") and "spark.local.dir" not in (extra_conf or {}):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -154,7 +154,13 @@ class CdcTable:
         merged = merged.withColumn(PART_COL, part_expr(self.key_cols[0], self.n_partitions))
 
         sid = (parent["snapshot_id"] if parent else 0) + 1
-        entries, ddl = self._write_data(merged, sid)
+        # _write_data runs the plan twice (data write + per-partition stats);
+        # cache the merged state so the join/LWW upstream executes once.
+        merged = merged.persist()
+        try:
+            entries, ddl = self._write_data(merged, sid)
+        finally:
+            merged.unpersist()
 
         carried = []
         if parent:

@@ -145,7 +145,8 @@ def write_change_log(events: DataFrame, out_dir: str, events_per_file: int = 1_0
     min/max stats enable lsn-pruned tailing (S2) and (b) file order ~= lsn
     order for streaming maxFilesPerTrigger tailing (S3).
     """
-    n = events.count()
+    events = events.persist()  # the generator plan ends in a global-sort
+    n = events.count()         # window; don't re-run it per schema version
     for v in (1, 2, 3):
         sub = events.filter(F.col("schema_version") == v)
         if v == 1:
@@ -155,6 +156,7 @@ def write_change_log(events: DataFrame, out_dir: str, events_per_file: int = 1_0
         n_files = max(1, int(n / 3 / events_per_file))
         (sub.repartitionByRange(n_files, "lsn").sortWithinPartitions("lsn")
             .write.mode("overwrite").parquet(f"{out_dir}/v={v}"))
+    events.unpersist()
 
 
 def gen_src_snapshot(spark: SparkSession, n_keys: int = 5_000, seed: int = 42, **kw) -> DataFrame:
