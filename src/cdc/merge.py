@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from cdc.dedup import KEY_COLS
 
-SYS_COLS = ("_lsn", "_updated_ts", "_content_sha256")
+SYS_COLS = ("_lsn", "_updated_ts", "_content_sha256", "_deleted")
 
 
 def with_content_sha(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -68,22 +68,27 @@ def merge_apply(
     batch_wins = F.col("_b_lsn").isNotNull() & (
         F.col("_lsn").isNull() | (F.col("_b_lsn") >= F.col("_lsn"))
     )
-    # delete rows where the winning batch op is 'D'; keep everything else
-    out = joined.filter(~(batch_wins & (F.col("_b_op") == "D")))
-    batch_wins_live = batch_wins  # post-filter, batch_wins implies op != 'D'
-
+    # Deletes become TOMBSTONES (``_deleted`` flag), not physical removals:
+    # a late lower-LSN 'U' arriving in a later batch/micro-batch must lose
+    # to the delete, which requires the delete's LSN to still be in state.
+    # Readers filter tombstones (CdcTable.read); compaction may vacuum
+    # tombstones older than the source's max reordering horizon.
     sel = [F.coalesce(state[k], F.col(f"_b_{k}")).alias(k) for k in keys]
+    is_del = batch_wins & (F.col("_b_op") == "D")
     for c in value_cols:
-        sel.append(F.when(batch_wins_live, F.col(f"_bv_{c}")).otherwise(state[c] if c in state.columns else F.lit(None)).alias(c))
+        old = state[c] if c in state.columns else F.lit(None)
+        sel.append(F.when(is_del, F.lit(None)).when(batch_wins, F.col(f"_bv_{c}")).otherwise(old).alias(c))
     new_sha = (
         F.sha2(F.col("_bv_content"), 256) if "content" in value_cols else F.lit(None).cast("string")
     )
     sel += [
-        F.when(batch_wins_live, F.col("_b_lsn")).otherwise(F.col("_lsn")).alias("_lsn"),
-        F.when(batch_wins_live, F.col("_b_ts")).otherwise(F.col("_updated_ts")).alias("_updated_ts"),
-        F.when(batch_wins_live, new_sha).otherwise(F.col("_content_sha256")).alias("_content_sha256"),
+        F.when(batch_wins, F.col("_b_lsn")).otherwise(F.col("_lsn")).alias("_lsn"),
+        F.when(batch_wins, F.col("_b_ts")).otherwise(F.col("_updated_ts")).alias("_updated_ts"),
+        F.when(is_del, F.lit(None)).when(batch_wins, new_sha).otherwise(F.col("_content_sha256")).alias("_content_sha256"),
+        F.when(batch_wins, F.col("_b_op") == "D")
+         .otherwise(F.coalesce(F.col("_deleted"), F.lit(False))).alias("_deleted"),
     ]
-    return out.select(*sel)
+    return joined.select(*sel)
 
 
 def empty_state(spark, batch_final: DataFrame, keys: Sequence[str] = KEY_COLS,
@@ -102,6 +107,7 @@ def empty_state(spark, batch_final: DataFrame, keys: Sequence[str] = KEY_COLS,
         T.StructField("_lsn", T.LongType()),
         T.StructField("_updated_ts", T.TimestampType()),
         T.StructField("_content_sha256", T.StringType()),
+        T.StructField("_deleted", T.BooleanType()),
     ]
     return spark.createDataFrame([], T.StructType(fields))
 

@@ -133,7 +133,8 @@ def j1_merge_full_outer(spark, sf_dir):
     state = empty_state(spark, b1, keys=("user_id",))
     state = merge_apply(state, b1, keys=("user_id",))
     state = merge_apply(state, b2, keys=("user_id",))
-    return state.select("user_id", "content", "_lsn", "_content_sha256")
+    return (state.filter(~F.col("_deleted"))
+            .select("user_id", "content", "_lsn", "_content_sha256"))
 
 
 @q("j2_broadcast_lookup", """

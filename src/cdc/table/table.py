@@ -59,12 +59,15 @@ class CdcTable:
 
     # -- read path (S5 + P3) ---------------------------------------------------
     def read(self, spark: SparkSession, parts: Sequence[int] | None = None,
-             snapshot_id: int | None = None) -> DataFrame | None:
+             snapshot_id: int | None = None,
+             include_deleted: bool = False) -> DataFrame | None:
         """Manifest-resolved read. ``parts`` prunes at the manifest level —
         Spark never sees files of untouched partitions. Files written under
         older schemas are read with their own recorded DDL, then
         unionByName(allowMissingColumns) + cast to the snapshot schema
-        (U1 read-path schema evolution)."""
+        (U1 read-path schema evolution). Delete tombstones are filtered
+        unless ``include_deleted`` (the merge path reads them so late
+        lower-LSN updates lose to the delete)."""
         snap = (store.read_snapshot(self.root, snapshot_id) if snapshot_id is not None
                 else self.current_snapshot())
         if snap is None:
@@ -87,6 +90,8 @@ class CdcTable:
             for d in dfs[1:]:
                 df = df.unionByName(d, allowMissingColumns=True)
             df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields])
+        if not include_deleted and "_deleted" in df.columns:
+            df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df.withColumn(PART_COL, part_expr(self.key_cols[0], self.n_partitions))
 
     # -- write path (S6) -------------------------------------------------------
@@ -146,7 +151,7 @@ class CdcTable:
         else:
             touched, batch_lsn_high = sorted(agg["parts"]), int(agg["h"])
 
-        state = self.read(spark, parts=touched)
+        state = self.read(spark, parts=touched, include_deleted=True)
         if state is None:
             state = M.empty_state(spark, batch_final, keys=self.key_cols)
             state = state.withColumn(PART_COL, part_expr(self.key_cols[0], self.n_partitions))

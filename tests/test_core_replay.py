@@ -21,7 +21,7 @@ def _final_state_pdf(spark, events, via):
     batch = dedupe_exact(events)
     final = last_writer_wins(batch, via=via)
     state0 = empty_state(spark, final)
-    new_state = merge_apply(state0, final)
+    new_state = merge_apply(state0, final).filter(~F.col("_deleted"))
     return (
         new_state.select("repo", "path", "commit", "lang",
                          F.sha2("content", 256).alias("content_sha256"),

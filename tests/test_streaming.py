@@ -1,0 +1,105 @@
+"""M5 — streaming: batch replay ≡ stream replay, exactly-once restart,
+windowed metrics (SURVEY.md §5.2 'streaming' layer)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc.pipeline import replay
+from cdc.stream.metrics import session_bursts, sliding_counts, tumbling_counts
+from cdc.stream.pipeline import stream_to_table
+from cdc.table.table import CdcTable
+from cdc.testing.gen import gen_change_events, write_change_log
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("streamlog"))
+    ev = gen_change_events(spark, n_keys=800, mean_events_per_key=6, seed=5)
+    write_change_log(ev, d, events_per_file=1_000)
+    return d
+
+
+def state_set(spark, table):
+    df = table.read(spark)
+    return {(r.repo, r.path, r._lsn, r._content_sha256)
+            for r in df.select("repo", "path", "_lsn", "_content_sha256").collect()}
+
+
+def test_stream_availablenow_equals_batch_replay(spark, log_dir, tmp_path):
+    batch_table = CdcTable(str(tmp_path / "batch"), n_partitions=4)
+    replay(spark, log_dir, batch_table, metrics=False)
+
+    stream_table = CdcTable(str(tmp_path / "stream"), n_partitions=4)
+    # small maxFilesPerTrigger forces MANY micro-batches -> exercises
+    # cross-epoch LWW ordering and delete tombstones
+    stream_to_table(spark, log_dir, stream_table, metrics=False,
+                    max_files_per_trigger=2)
+    assert len(stream_table.snapshots()) > 1, "expected multiple epochs"
+    assert state_set(spark, stream_table) == state_set(spark, batch_table)
+
+
+def test_stream_restart_is_noop(spark, log_dir, tmp_path):
+    table = CdcTable(str(tmp_path / "t"), n_partitions=4)
+    stream_to_table(spark, log_dir, table, metrics=False, max_files_per_trigger=4)
+    snap1 = table.current_snapshot()
+    # same checkpoint, no new files: restart must not commit anything new
+    stream_to_table(spark, log_dir, table, metrics=False, max_files_per_trigger=4)
+    snap2 = table.current_snapshot()
+    assert snap1["snapshot_id"] == snap2["snapshot_id"]
+
+
+def test_stream_then_tail_new_events(spark, log_dir, tmp_path):
+    """Live-tail analog: drain the log, append more events, drain again."""
+    table = CdcTable(str(tmp_path / "t2"), n_partitions=4)
+    stream_to_table(spark, log_dir, table, metrics=False)
+    hi1 = table.lsn_high()
+
+    ev2 = gen_change_events(spark, n_keys=200, mean_events_per_key=3, seed=6)
+    ev2 = ev2.withColumn("lsn", F.col("lsn") + hi1)
+    write_change_log(ev2, log_dir + "/../tail2", events_per_file=1_000)
+    # second stream over the new dir shares the table (fresh checkpoint)
+    stream_to_table(spark, log_dir + "/../tail2", table, metrics=False,
+                    checkpoint_dir=str(tmp_path / "ckpt2"))
+    assert table.lsn_high() > hi1
+
+
+def test_windowed_metrics_batch_equivalents(spark, log_dir):
+    from cdc.io.log import read_log
+    from cdc.schema.registry import default_registry
+
+    ev = read_log(spark, log_dir, default_registry())
+    n = ev.count()
+    t = tumbling_counts(ev, "1 minute")
+    assert t.agg(F.sum("n_events")).collect()[0][0] == n
+    s = sliding_counts(ev, "5 minutes", "1 minute")
+    # every event falls in width/slide = 5 overlapping windows
+    assert s.agg(F.sum("n_events")).collect()[0][0] == 5 * n
+    b = session_bursts(ev, "30 seconds")
+    assert b.agg(F.sum("n_events")).collect()[0][0] == n
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """T5 — dropDuplicatesWithinWatermark collapses verbatim re-deliveries
+    inside the watermark horizon before they reach the sink."""
+    from cdc.stream.pipeline import stream_events
+
+    d = str(tmp_path / "log")
+    ev = gen_change_events(spark, n_keys=100, mean_events_per_key=4, seed=9)
+    write_change_log(ev, d, events_per_file=10_000)
+
+    seen = []
+    src = stream_events(spark, d, watermark="30 minutes")
+    q = (src.writeStream.foreachBatch(lambda df, eid: seen.append(df.count()))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    from cdc.io.log import read_log
+    from cdc.schema.registry import default_registry
+    raw = read_log(spark, d, default_registry())
+    n_raw = raw.count()
+    n_distinct = raw.dropDuplicates(["batch_id", "lsn"]).count()
+    assert n_distinct < n_raw  # generator injects ~2% duplicates
+    assert sum(seen) == n_distinct
