@@ -1,0 +1,96 @@
+"""Table maintenance: compaction + tombstone vacuum + orphan cleanup.
+
+At 10^10-event scale the per-commit rewrite of touched partitions leaves
+(a) many small files in hot partitions and (b) delete tombstones that are
+only needed while the source can still reorder events across commits.
+``compact`` rewrites the table into fresh right-sized files and drops
+tombstones below a caller-supplied LSN horizon (the source's max
+reordering distance — analogous to Kafka's log.cleaner delete retention).
+
+Compaction is itself a transactional commit (operation='compact'): readers
+at the old snapshot keep working, the ledger carries over, and a crash
+mid-compact leaves the current pointer untouched. ``vacuum_orphans``
+removes data directories no live snapshot references.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from cdc.meta import store
+from cdc.table.table import PART_COL, CdcTable
+
+
+def compact(spark: SparkSession, table: CdcTable,
+            vacuum_tombstones_below_lsn: int | None = None,
+            files_per_partition: int | None = None) -> dict:
+    """Rewrite every partition into ``files_per_partition`` files; drop
+    tombstones whose _lsn <= the vacuum horizon. Returns the new snapshot."""
+    parent = table.current_snapshot()
+    if parent is None:
+        raise ValueError("cannot compact an empty table")
+    df = table.read(spark, include_deleted=True)
+    if vacuum_tombstones_below_lsn is not None:
+        keep = ~(F.coalesce(F.col("_deleted"), F.lit(False))
+                 & (F.col("_lsn") <= F.lit(vacuum_tombstones_below_lsn)))
+        df = df.filter(keep)
+
+    old_fpp = table.files_per_partition
+    if files_per_partition is not None:
+        table.files_per_partition = files_per_partition
+    try:
+        sid = parent["snapshot_id"] + 1
+        entries, ddl = table._write_data(df.persist(), sid)
+    finally:
+        df.unpersist()
+        table.files_per_partition = old_fpp
+
+    snap = store.new_snapshot(
+        parent, batch_key=f"compact-{sid:08d}",
+        lsn_high=parent["lsn_high"], files=entries, schema_ddl=ddl,
+        operation="compact",
+        committed_ts=datetime.now(timezone.utc).isoformat())
+    store.write_snapshot(table.root, snap)
+    return snap
+
+
+def expire_snapshots(table: CdcTable, keep_last: int = 3) -> list[int]:
+    """Drop snapshot JSONs older than the newest ``keep_last`` (time-travel
+    horizon); the current snapshot is always kept. Returns expired ids."""
+    snaps = table.snapshots()
+    if len(snaps) <= keep_last:
+        return []
+    current = table.current_snapshot()["snapshot_id"]
+    expired = []
+    for snap in snaps[:-keep_last]:
+        sid = snap["snapshot_id"]
+        if sid == current:
+            continue
+        os.remove(store.snap_path(table.root, sid))
+        expired.append(sid)
+    return expired
+
+
+def vacuum_orphans(table: CdcTable) -> list[str]:
+    """Remove data/snap-* directories referenced by NO remaining snapshot
+    (crashed commits, expired history). Safe because commits never reuse a
+    staging dir of a *different* snapshot id."""
+    live_dirs: set[str] = set()
+    for snap in table.snapshots():
+        for f in snap["files"]:
+            # files live under data/snap-XXXX/part=N/...
+            live_dirs.add(f["path"].split("/", 2)[1])
+    data_root = os.path.join(table.root, "data")
+    removed = []
+    if not os.path.isdir(data_root):
+        return removed
+    for name in sorted(os.listdir(data_root)):
+        if name.startswith("snap-") and name not in live_dirs:
+            shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+            removed.append(name)
+    return removed

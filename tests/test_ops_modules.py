@@ -1,0 +1,183 @@
+"""Time travel, skew planner, audit, enrichment registry, maintenance
+(SURVEY.md §2.B J5/J6, W4/O3, U2/J7, R12; Iceberg-style compaction)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc.audit import assert_parity, batch_conflicts, parity_diff
+from cdc.enrich import apply_enrichments, registered
+from cdc.pipeline import replay
+from cdc.skew import choose_salt, key_deciles, plan_lww, skew_stats, topk_hot_keys
+from cdc.table.maintenance import compact, expire_snapshots, vacuum_orphans
+from cdc.table.table import CdcTable
+from cdc.table.timetravel import probe_versions, read_as_of, snapshot_diff
+from cdc.testing.gen import gen_change_events, write_change_log
+from cdc.testing.oracle import expected_state
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ops")
+    events = gen_change_events(spark, n_keys=600, mean_events_per_key=6, seed=21).cache()
+    log_dir = str(root / "log")
+    write_change_log(events, log_dir, events_per_file=1_000)
+    table = CdcTable(str(root / "table"), n_partitions=4)
+    # chunked replay -> several snapshots for time travel / maintenance
+    replay(spark, log_dir, table, batches_per_commit=2, metrics=False)
+    return {"events": events, "log_dir": log_dir, "table": table}
+
+
+# ---- time travel -----------------------------------------------------------
+
+def test_read_as_of_matches_pandas_oracle(spark, env):
+    pdf = env["events"].toPandas()
+    mid = int(pdf.lsn.quantile(0.5))
+    got = read_as_of(spark, env["table"], mid, log_dir=env["log_dir"])
+    exp = expected_state(pdf[pdf.lsn <= mid])
+    got_set = {(r.repo, r.path, r._content_sha256, r._lsn)
+               for r in got.select("repo", "path", "_content_sha256", "_lsn").collect()}
+    exp_set = set(map(tuple, exp[["repo", "path", "content_sha256", "last_lsn"]].values))
+    assert got_set == exp_set
+
+
+def test_read_as_of_at_snapshot_boundary(spark, env):
+    snaps = env["table"].snapshots()
+    boundary = snaps[0]["lsn_high"]
+    got = read_as_of(spark, env["table"], boundary, log_dir=env["log_dir"])
+    pdf = env["events"].toPandas()
+    exp = expected_state(pdf[pdf.lsn <= boundary])
+    assert got.count() == len(exp)
+
+
+def test_probe_versions_range_join(spark, env):
+    ev = env["events"]
+    probes = spark.range(1, 4).select((F.col("id") * 500).alias("probe"))
+    out = probe_versions(ev.dropDuplicates(["lsn"]), probes).collect()
+    assert len(out) > 0
+    # spot-check one: the returned interval must contain the probe
+    r = out[0]
+    assert r.lsn_lo <= r.probe < r.lsn_hi
+
+
+def test_snapshot_diff(spark, env):
+    snaps = env["table"].snapshots()
+    d = snapshot_diff(spark, env["table"], snaps[0]["snapshot_id"],
+                      snaps[-1]["snapshot_id"])
+    assert d.count() > 0
+    assert set(d.select("change").distinct().toPandas().change) <= {
+        "added_or_changed", "removed_or_changed"}
+
+
+# ---- skew ------------------------------------------------------------------
+
+def test_topk_and_deciles(spark, env):
+    top = topk_hot_keys(env["events"], keys=("repo",), k=5).collect()
+    assert len(top) == 5
+    assert top[0].n >= top[-1].n
+    dec = key_deciles(env["events"], keys=("repo",)).collect()
+    assert sum(r.n_keys for r in dec) == env["events"].select("repo").distinct().count()
+
+
+def test_choose_salt_thresholds():
+    assert choose_salt({"max_key": 1000}, target_rows_per_task=10_000) == 1
+    assert choose_salt({"max_key": 25_000}, target_rows_per_task=10_000) == 4
+    assert choose_salt({"max_key": 10**9}, target_rows_per_task=10_000, max_salt=64) == 64
+
+
+def test_plan_lww_on_generated_stream(spark, env):
+    via, salt = plan_lww(env["events"], target_rows_per_task=100_000)
+    assert via == "maxby" and salt == 1  # no key exceeds the budget
+    via2, salt2 = plan_lww(env["events"], keys=("repo",), target_rows_per_task=50)
+    assert via2 == "salted" and salt2 > 1
+
+
+def test_skew_stats_shape(spark, env):
+    s = skew_stats(env["events"], keys=("repo",))
+    assert s["n_events"] > 0 and s["max_key"] >= s["p999"] > 0
+
+
+# ---- audit -----------------------------------------------------------------
+
+def test_parity_diff_empty_on_self(spark, env):
+    state = env["table"].read(spark)
+    assert parity_diff(state, state).count() == 0
+    assert_parity(state, state)
+
+
+def test_parity_diff_detects_mutation(spark, env):
+    state = env["table"].read(spark)
+    mutated = state.withColumn(
+        "_content_sha256",
+        F.when(F.monotonically_increasing_id() == 0, F.lit("deadbeef"))
+        .otherwise(F.col("_content_sha256")))
+    d = parity_diff(state, mutated)
+    assert d.count() == 2  # one row differs -> one on each side
+    with pytest.raises(AssertionError):
+        assert_parity(state, mutated)
+
+
+def test_batch_conflicts(spark, env):
+    ev = env["events"]
+    mid = 1800
+    c = batch_conflicts(ev.filter(F.col("lsn") < mid), ev.filter(F.col("lsn") >= mid))
+    assert c.count() > 0
+    row = c.first()
+    assert row.lsn_b2 > row.lsn_b1
+
+
+# ---- enrichment ------------------------------------------------------------
+
+def test_enrichment_registry_and_routing(spark, env):
+    state = env["table"].read(spark)
+    names = ["lang_stats", "repo_activity", "path_depth_histogram"]
+    assert set(names) <= set(registered())
+    out = apply_enrichments(state, names)
+    assert out["lang_stats"].agg(F.sum("n_files")).collect()[0][0] == state.count()
+    assert out["repo_activity"].count() == state.select("repo").distinct().count()
+    assert out["path_depth_histogram"].agg(F.sum("n_files")).collect()[0][0] == state.count()
+
+
+def test_enrichment_dim_lookup(spark, env):
+    state = env["table"].read(spark)
+    dim = spark.createDataFrame(
+        [("python", "Python"), ("java", "Java")], "lang string, lang_name string")
+    out = apply_enrichments(state, ["dim_lookup"], dim=dim)["dim_lookup"]
+    assert out.count() == state.count()
+    assert out.filter(F.col("lang_name").isNotNull()).count() > 0
+
+
+# ---- maintenance -----------------------------------------------------------
+
+def test_compact_preserves_live_state_and_drops_tombstones(spark, env):
+    table = env["table"]
+    before_live = {(r.repo, r.path, r._content_sha256)
+                   for r in table.read(spark).select("repo", "path", "_content_sha256").collect()}
+    n_tomb_before = table.read(spark, include_deleted=True).filter("_deleted").count()
+    assert n_tomb_before > 0
+
+    snap = compact(spark, table, vacuum_tombstones_below_lsn=table.lsn_high(),
+                   files_per_partition=1)
+    assert snap["operation"] == "compact"
+    after_live = {(r.repo, r.path, r._content_sha256)
+                  for r in table.read(spark).select("repo", "path", "_content_sha256").collect()}
+    assert after_live == before_live
+    assert table.read(spark, include_deleted=True).filter("_deleted").count() == 0
+    # all data now in the compacted snapshot's files
+    assert all(f["origin"] == "added" for f in snap["files"])
+
+
+def test_expire_and_vacuum(spark, env):
+    table = env["table"]
+    data_root = os.path.join(table.root, "data")
+    n_dirs_before = len(os.listdir(data_root))
+    expired = expire_snapshots(table, keep_last=1)
+    assert expired, "expected snapshots to expire"
+    removed = vacuum_orphans(table)
+    assert removed, "expected orphan data dirs"
+    assert len(os.listdir(data_root)) < n_dirs_before
+    # table still readable at current snapshot
+    assert table.read(spark).count() > 0
