@@ -17,6 +17,7 @@ import os
 import shutil
 import tempfile
 
+import pandas as pd  # module-global: pandas-UDF type hints resolve against it
 from pyspark.sql import functions as F
 
 from cdc.parity.common import load
@@ -68,6 +69,85 @@ def v2_normalize_iter(spark, sf_dir):
     return (d.withColumn("content", dirty)
             .withColumn("normalized", normalize_content_iter(F.col("content")))
             .select("doc_id", F.sha2("normalized", 256).alias("norm_sha256")))
+
+
+_V3_EV_SQL = """
+SELECT user_id, event_id AS lsn, CAST(event_id / 1000 AS BIGINT) AS batch_id,
+       repeat(event_type, CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 + 1 AS INT)) AS content
+FROM events
+"""
+
+
+def _v3_events(spark, sf_dir):
+    from cdc.parity.common import load
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "user_id", F.col("event_id").alias("lsn"),
+        (F.col("event_id") / 1000).cast("long").alias("batch_id"),
+        F.repeat(F.col("event_type"), (k % 4 + 1).cast("int")).alias("content"))
+
+
+@q("v3_policy_lww", f"""
+WITH ev AS ({_V3_EV_SQL}),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY lsn DESC, batch_id DESC) AS rn FROM ev)
+SELECT user_id, lsn, content FROM r WHERE rn = 1
+""")
+def v3_policy_lww(spark, sf_dir):
+    """V3 — grouped-map applyInPandas conflict policy: the 'lww' policy
+    must reproduce the engine's column-algebra LWW bit-for-bit."""
+    from cdc.policies import resolve_with_policy
+    out = resolve_with_policy(_v3_events(spark, sf_dir), "lww", keys=("user_id",))
+    return out.select("user_id", "lsn", "content")
+
+
+@q("v3_policy_longest", f"""
+WITH ev AS ({_V3_EV_SQL}),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY length(content) DESC, lsn DESC) AS rn FROM ev)
+SELECT user_id, lsn, content FROM r WHERE rn = 1
+""")
+def v3_policy_longest(spark, sf_dir):
+    """V3 — a content-aware custom policy (longest content wins, ties to
+    highest lsn): semantics column expressions can't express cleanly."""
+    from cdc.policies import resolve_with_policy
+    out = resolve_with_policy(_v3_events(spark, sf_dir), "longest_content",
+                              keys=("user_id",))
+    return out.select("user_id", "lsn", "content")
+
+
+@q("v4_grouped_agg_udf", """
+SELECT event_type,
+       round(sum(value * event_id) / sum(event_id), 6) AS lsn_weighted_value
+FROM events GROUP BY event_type
+""")
+def v4_grouped_agg_udf(spark, sf_dir):
+    """V4 — grouped-aggregate pandas UDF: a custom reducer (LSN-weighted
+    mean) running as an Arrow-batched aggregate."""
+    from cdc.parity.common import load
+
+    @F.pandas_udf("double")
+    def wavg(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(wavg(F.col("value"), F.col("event_id")), 6)
+                 .alias("lsn_weighted_value")))
+
+
+@q("f9_misc_lineage")  # nondeterministic physical identifiers -> rows-only
+def f9_misc_lineage(spark, sf_dir):
+    """F9 — physical lineage functions (input_file_name,
+    spark_partition_id): per-source-file row counts. Values depend on the
+    physical file layout, so the driver records a rows-only check."""
+    from cdc.parity.common import load
+    ev = load(spark, sf_dir, "events")
+    return (ev.select(F.input_file_name().alias("file"),
+                      F.spark_partition_id().alias("pid"))
+            .groupBy("file").agg(F.count(F.lit(1)).alias("n"),
+                                 F.countDistinct("pid").alias("n_partitions")))
 
 
 @q("cdc_replay_full")  # full engine path: not SQL-expressible -> rows-only
