@@ -36,7 +36,7 @@ def spark_submit(master: str, cores: int, zip_path: str, log_dir: str,
         "--master", master,
         "--driver-memory", "20g",
         "--conf", "spark.sql.adaptive.enabled=true",
-        "--conf", f"spark.sql.shuffle.partitions={cores}",
+        "--conf", "spark.sql.shuffle.partitions=64",  # identical plan both configs
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.local.dir=/dev/shm/spark-local"
@@ -45,7 +45,7 @@ def spark_submit(master: str, cores: int, zip_path: str, log_dir: str,
         "--py-files", zip_path,
         os.path.join(REPO, "scripts", "cdc_replay.py"),
         "--log-dir", log_dir, "--table", table,
-        "--partitions", str(cores), "--reps", str(reps), "--json",
+        "--partitions", "32", "--reps", str(reps), "--json",
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
     if out.returncode != 0:
@@ -56,8 +56,8 @@ def spark_submit(master: str, cores: int, zip_path: str, log_dir: str,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--keys", type=int, default=120_000)
-    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--keys", type=int, default=300_000)
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--work", default=None)
     args = ap.parse_args()
 

@@ -45,6 +45,13 @@ def last_writer_wins(
     via='maxby'  — A4: groupBy(keys).agg(max_by(payload, order)); skew-robust.
     via='window' — W1: row_number ranking; the spec's semantic definition.
     via='salted' — W1 two-stage salted ranking for hot keys.
+    via='semi'   — winner keys via a NARROW shuffle (keys+order only), then
+                   broadcast back as a left-semi filter: the wide content
+                   column never shuffles (~events-per-key x cheaper bytes).
+                   Needs the winner set to fit a broadcast (~keys x 50B);
+                   commit chunking (replay batches_per_commit) bounds it,
+                   so the app planner picks this for bounded batches and
+                   falls back to maxby for unbounded key spaces.
 
     Ties on ``lsn`` are broken by ``batch_id`` (SURVEY.md §7 hard-part #2);
     exact duplicates must be removed first (dedupe_exact) so the result is
@@ -72,6 +79,15 @@ def last_writer_wins(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+    if via == "semi":
+        ord_struct = F.struct(*[F.col(c) for c in order])
+        winners = (df.select(*keys, *order)
+                   .groupBy(*keys).agg(F.max(ord_struct).alias("_w"))
+                   .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in order]))
+        out = df.join(F.broadcast(winners), [*keys, *order], "left_semi")
+        # verbatim duplicate deliveries of the winning event survive the
+        # semi filter; they are identical rows, so any-one-per-key is exact
+        return out.dropDuplicates(list(keys))
     if via == "maxby":
         payload = [c for c in df.columns if c not in keys]
         ord_struct = F.struct(*[F.col(c) for c in order])

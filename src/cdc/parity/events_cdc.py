@@ -79,6 +79,14 @@ def a4_lww_maxby(spark, sf_dir):
     return _lww(spark, sf_dir, via="maxby")
 
 
+@q("w1_lww_semi", _LWW_ORACLE)
+def w1_lww_semi(spark, sf_dir):
+    """W1 (narrow-shuffle form) — winner keys found over (key, order)
+    columns only, broadcast back as a left-semi filter so wide payload
+    columns never shuffle. Must equal every other LWW form bit-for-bit."""
+    return _lww(spark, sf_dir, via="semi")
+
+
 @q("a2_dedup_exact", """
 WITH delivered AS (
   SELECT * FROM events

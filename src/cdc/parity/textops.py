@@ -216,12 +216,16 @@ def dedup_minhash_lsh(spark, sf_dir):
     sig = sh.groupBy("doc_id").agg(*[
         F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"mh{k}")
         for k in range(N_MINHASH)])
-    bands = None
-    for b in range(LSH_BANDS):
-        cols = [F.col(f"mh{k}") for k in range(b * r, (b + 1) * r)]
-        part = sig.select("doc_id", F.lit(b).alias("band"),
-                          F.md5(F.concat(*cols)).alias("bucket"))
-        bands = part if bands is None else bands.unionByName(part)
+    # one explode, not a 4-way union: a union would recompute the whole
+    # shingle->signature pipeline once per band
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat(*[F.col(f"mh{k}")
+                                  for k in range(b * r, (b + 1) * r)])).alias("bucket"))
+        for b in range(LSH_BANDS)])
+    bands = (sig.select("doc_id", F.explode(band_arr).alias("bb"))
+             .select("doc_id", F.col("bb.band").alias("band"),
+                     F.col("bb.bucket").alias("bucket")))
     a = bands.alias("a")
     b2 = bands.alias("b")
     return (a.join(b2, (F.col("a.band") == F.col("b.band"))

@@ -105,6 +105,12 @@ def gen_change_events(
     gap = F.when(F.pmod(_h(s, F.col("rid"), F.lit("gap")), F.lit(100)) < 3, 1 + F.pmod(_h(s, F.col("rid"), F.lit("gapsz")), F.lit(3))).otherwise(F.lit(0))
     ev = ev.withColumn("lsn", (F.col("rid") + F.sum(gap).over(w_glob.rowsBetween(Window.unboundedPreceding, 0))).cast("long"))
 
+    # break the single-task window stage BEFORE the payload projections:
+    # without this exchange Catalyst pipelines the (heavy) content/md5
+    # generation into the same lone task the global window ran in.
+    # Range partitioning on the now-unique lsn keeps it deterministic.
+    ev = ev.repartitionByRange(64, "lsn")
+
     # -- payload columns ------------------------------------------------------
     base = F.sha2(F.concat_ws(":", s.cast("string"), F.col("repo"), F.col("path"), F.col("version").cast("string")), 256)
     ev = ev.withColumn("commit", F.substring(base, 1, 40))

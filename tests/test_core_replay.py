@@ -48,7 +48,7 @@ def test_generator_fixture_properties(events):
     assert top5 / n_raw > 0.45
 
 
-@pytest.mark.parametrize("via", ["maxby", "window", "salted"])
+@pytest.mark.parametrize("via", ["maxby", "window", "salted", "semi"])
 def test_replay_matches_pandas_oracle(spark, events, via):
     got = _final_state_pdf(spark, events, via)
     exp = expected_state(events.toPandas())
