@@ -57,6 +57,32 @@ class CdcTable:
         snap = self.current_snapshot()
         return bool(snap) and str(batch_key) in snap["committed_batches"]
 
+    # -- metadata tables (SURVEY.md §1.2 commits/manifest) --------------------
+    def commits_df(self, spark: SparkSession) -> DataFrame:
+        """The commits ledger as a DataFrame (S4): one row per snapshot."""
+        rows = [(s["snapshot_id"], s["parent_id"], s["batch_key"],
+                 s["lsn_high"], s["operation"], s["committed_ts"],
+                 len(s["files"])) for s in self.snapshots()]
+        return spark.createDataFrame(
+            rows, "snapshot_id long, parent_id long, batch_key string, "
+                  "lsn_high long, operation string, committed_ts string, "
+                  "n_files int")
+
+    def manifest_df(self, spark: SparkSession,
+                    snapshot_id: int | None = None) -> DataFrame:
+        """The file manifest as a DataFrame: one row per data file with the
+        pruning stats (part, lsn bounds, rows)."""
+        snap = (store.read_snapshot(self.root, snapshot_id)
+                if snapshot_id is not None else self.current_snapshot())
+        if snap is None:
+            raise ValueError("empty table has no manifest")
+        rows = [(snap["snapshot_id"], f["path"], int(f["part"]), int(f["rows"]),
+                 int(f["lsn_min"]), int(f["lsn_max"]), f["origin"])
+                for f in snap["files"]]
+        return spark.createDataFrame(
+            rows, "snapshot_id long, file_path string, part int, rows long, "
+                  "lsn_min long, lsn_max long, origin string")
+
     # -- read path (S5 + P3) ---------------------------------------------------
     def read(self, spark: SparkSession, parts: Sequence[int] | None = None,
              snapshot_id: int | None = None,

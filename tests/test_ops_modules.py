@@ -181,3 +181,18 @@ def test_expire_and_vacuum(spark, env):
     assert len(os.listdir(data_root)) < n_dirs_before
     # table still readable at current snapshot
     assert table.read(spark).count() > 0
+
+
+# ---- metadata tables -------------------------------------------------------
+
+def test_commits_and_manifest_dataframes(spark, env):
+    table = env["table"]
+    c = table.commits_df(spark)
+    assert c.count() == len(table.snapshots())
+    assert c.filter(F.col("operation") == "merge").count() >= 1
+    # lsn_high is monotone over snapshot_id
+    rows = c.orderBy("snapshot_id").collect()
+    assert all(a.lsn_high <= b.lsn_high for a, b in zip(rows, rows[1:]))
+    m = table.manifest_df(spark)
+    assert m.count() == len(table.current_snapshot()["files"])
+    assert m.filter(F.col("lsn_max") < F.col("lsn_min")).count() == 0
