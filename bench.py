@@ -82,6 +82,16 @@ def main() -> None:
         write_change_log(ev2, log2, events_per_file=50_000)
         timed("cdc_incremental_tail",
               lambda: replay(spark, log2, table, batches_per_commit=None, metrics=True))
+
+        # merge-on-read tail: same shape of fresh events, appended as a
+        # delta layer (no partition rewrite) — the high-frequency-commit path
+        ev3 = gen_change_events(spark, n_keys=n_keys // 10, mean_events_per_key=4, seed=13)
+        ev3 = ev3.withColumn("lsn", F.col("lsn") + table.lsn_high())
+        log3 = os.path.join(work, "log3")
+        write_change_log(ev3, log3, events_per_file=50_000)
+        timed("cdc_incremental_tail_mor",
+              lambda: replay(spark, log3, table, batches_per_commit=None,
+                             metrics=True, mode="mor"))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--table", required=True)
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--batches-per-commit", type=int, default=None)
+    ap.add_argument("--lww-via", default="maxby",
+                    choices=["maxby", "window", "salted", "semi"])
+    ap.add_argument("--mode", choices=["cow", "mor"], default="cow",
+                    help="cow = rewrite touched partitions per commit; "
+                         "mor = append delta layers, reconcile on read")
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--no-metrics", action="store_true")
@@ -70,7 +75,8 @@ def main() -> None:
         else:
             replay(spark, args.log_dir, table,
                    batches_per_commit=args.batches_per_commit,
-                   metrics=not args.no_metrics)
+                   metrics=not args.no_metrics, mode=args.mode,
+                   lww_via=args.lww_via)
         wall = time.monotonic() - t0
         results.append(wall)
         print(f"rep {i}: {wall:.2f}s  ({int(n_events / wall)} events/sec)",

@@ -112,6 +112,28 @@ def empty_state(spark, batch_final: DataFrame, keys: Sequence[str] = KEY_COLS,
     return spark.createDataFrame([], T.StructType(fields))
 
 
+def batch_to_state_rows(batch_final: DataFrame,
+                        keys: Sequence[str] = KEY_COLS,
+                        value_cols: Sequence[str] | None = None) -> DataFrame:
+    """Project an LWW-collapsed batch into current-state row shape (the
+    delta layer written by merge-on-read commits): keys + values + system
+    columns, with 'D' ops becoming tombstone rows."""
+    if value_cols is None:
+        value_cols = [c for c in batch_final.columns
+                      if c not in (*keys, "lsn", "ts", "op", "batch_id", "schema_version")]
+    is_del = F.col("op") == "D"
+    sha = (F.when(is_del, F.lit(None)).otherwise(F.sha2(F.col("content"), 256))
+           if "content" in value_cols else F.lit(None).cast("string"))
+    return batch_final.select(
+        *keys,
+        *[F.when(is_del, F.lit(None)).otherwise(F.col(c)).alias(c) for c in value_cols],
+        F.col("lsn").alias("_lsn"),
+        F.col("ts").alias("_updated_ts"),
+        sha.alias("_content_sha256"),
+        is_del.alias("_deleted"),
+    )
+
+
 def affected_keys(batch: DataFrame, state: DataFrame, keys: Sequence[str] = KEY_COLS) -> DataFrame:
     """J3 — keys present in the batch but absent from state (pure inserts)."""
     return batch.select(*keys).distinct().join(state.select(*keys), list(keys), "left_anti")

@@ -40,9 +40,14 @@ def apply_batch(
     normalize: bool = True,
     lww_via: str = "maxby",
     metrics: bool = True,
+    mode: str = "cow",
 ) -> dict:
     """Apply one event batch exactly-once: no-op if batch_key is already in
-    the table's commit ledger (T7)."""
+    the table's commit ledger (T7).
+
+    ``mode='cow'`` — copy-on-write MERGE (rewrite touched partitions).
+    ``mode='mor'`` — merge-on-read delta append (write only the batch's
+    winner rows; readers reconcile, compaction folds)."""
     if table.is_committed(batch_key):
         return table.current_snapshot()
     t0 = time.monotonic()
@@ -61,7 +66,10 @@ def apply_batch(
     # merge/write) — cache it so the log scan -> dedup -> LWW chain runs once.
     final = final.persist()
     try:
-        snap = table.commit_merge(spark, final, batch_key)
+        if mode == "mor":
+            snap = table.commit_delta(spark, final, batch_key)
+        else:
+            snap = table.commit_merge(spark, final, batch_key)
         if metrics:
             pcol = part_expr(table.key_cols[0], table.n_partitions)
             m = batch_lineage_metrics(events.withColumn("part", pcol))
@@ -80,6 +88,7 @@ def replay(
     normalize: bool = True,
     lww_via: str = "maxby",
     metrics: bool = True,
+    mode: str = "cow",
 ) -> ReplayResult:
     """Resume-safe batch replay of the whole log tail.
 
@@ -98,7 +107,7 @@ def replay(
     if batches_per_commit is None:
         key = f"replay-from-{after + 1}"
         before = table.current_snapshot()
-        snap = apply_batch(spark, table, log, key, normalize, lww_via, metrics)
+        snap = apply_batch(spark, table, log, key, normalize, lww_via, metrics, mode)
         if before is not None and snap["snapshot_id"] == before["snapshot_id"]:
             res.n_skipped += 1
         else:
@@ -114,7 +123,7 @@ def replay(
                 res.n_skipped += 1
                 continue
             sub = log.filter((F.col("batch_id") >= lo) & (F.col("batch_id") <= hi))
-            apply_batch(spark, table, sub, key, normalize, lww_via, metrics)
+            apply_batch(spark, table, sub, key, normalize, lww_via, metrics, mode)
             res.n_commits += 1
             res.batch_keys.append(key)
 

@@ -116,12 +116,19 @@ class CdcTable:
             for d in dfs[1:]:
                 df = df.unionByName(d, allowMissingColumns=True)
             df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields])
+        if any(f.get("kind") == "delta" for f in files):
+            # merge-on-read reconcile: several layers may carry the same key
+            # (base + delta commits); the highest _lsn row wins — identical
+            # semantics to the write-side MERGE guard, paid at read time.
+            from cdc.dedup import last_writer_wins
+            df = last_writer_wins(df, keys=self.key_cols, order=("_lsn",), via="maxby")
         if not include_deleted and "_deleted" in df.columns:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df.withColumn(PART_COL, part_expr(self.key_cols[0], self.n_partitions))
 
     # -- write path (S6) -------------------------------------------------------
-    def _write_data(self, df: DataFrame, snapshot_id: int) -> tuple[list[dict], str]:
+    def _write_data(self, df: DataFrame, snapshot_id: int,
+                    kind: str = "base") -> tuple[list[dict], str]:
         """Stage data files for a snapshot; returns (manifest entries, ddl).
 
         Deterministic staging dir per snapshot id -> a retried commit
@@ -156,8 +163,51 @@ class CdcTable:
                         "lsn_max": int(st["lsn_max"]),
                         "columns": ddl,
                         "origin": "added",
+                        "kind": kind,
                     })
         return entries, ddl
+
+    def commit_delta(self, spark: SparkSession, batch_final: DataFrame,
+                     batch_key: str) -> dict:
+        """Merge-on-read commit (the write-amplification answer at
+        10^10-event scale): append ONLY the batch's winner rows (incl.
+        tombstones) as a delta layer for the touched partitions — no state
+        read, no partition rewrite. Readers reconcile layers by max _lsn
+        per key (see ``read``); ``maintenance.compact`` folds deltas back
+        into a single base layer.
+
+        Cost model vs commit_merge (copy-on-write): CoW pays
+        O(touched-partition size) per commit and reads are free; MOR pays
+        O(batch size) per commit and reads pay the reconcile until the next
+        compaction — the right trade for high-frequency small batches."""
+        batch_key = str(batch_key)
+        parent = self.current_snapshot()
+        if parent and batch_key in parent["committed_batches"]:
+            return parent
+
+        rows = M.batch_to_state_rows(batch_final, keys=self.key_cols)
+        rows = rows.withColumn(PART_COL, part_expr(self.key_cols[0], self.n_partitions))
+        rows = rows.persist()
+        try:
+            agg = rows.agg(F.max("_lsn").alias("h")).collect()[0]
+            batch_lsn_high = (int(agg["h"]) if agg["h"] is not None
+                              else (parent["lsn_high"] if parent else 0))
+            sid = (parent["snapshot_id"] if parent else 0) + 1
+            entries, ddl = self._write_data(rows, sid, kind="delta")
+        finally:
+            rows.unpersist()
+
+        carried = [{**f, "origin": "existing"} for f in (parent["files"] if parent else [])]
+        snap = store.new_snapshot(
+            parent, batch_key,
+            lsn_high=max(batch_lsn_high, parent["lsn_high"] if parent else -1),
+            files=entries + carried,
+            schema_ddl=ddl,
+            operation="delta",
+            committed_ts=datetime.now(timezone.utc).isoformat(),
+        )
+        store.write_snapshot(self.root, snap)
+        return snap
 
     def commit_merge(self, spark: SparkSession, batch_final: DataFrame, batch_key: str) -> dict:
         """MERGE-apply one LWW-collapsed batch and commit a new snapshot.

@@ -185,10 +185,12 @@ def test_expire_and_vacuum(spark, env):
 
 # ---- metadata tables -------------------------------------------------------
 
-def test_commits_and_manifest_dataframes(spark, env):
-    table = env["table"]
+def test_commits_and_manifest_dataframes(spark, env, tmp_path):
+    # fresh table: earlier tests in this module compact/expire env's table
+    table = CdcTable(str(tmp_path / "meta_t"), n_partitions=4)
+    replay(spark, env["log_dir"], table, batches_per_commit=2, metrics=False)
     c = table.commits_df(spark)
-    assert c.count() == len(table.snapshots())
+    assert c.count() == len(table.snapshots()) >= 2
     assert c.filter(F.col("operation") == "merge").count() >= 1
     # lsn_high is monotone over snapshot_id
     rows = c.orderBy("snapshot_id").collect()
