@@ -43,12 +43,21 @@ sys.path.insert(0, os.path.join(REPO, "src"))
 CORES = (2, 8, 32)
 
 
+MEM = {2: "12g", 8: "24g", 32: "48g"}  # memory scales with the pretend
+# cluster size: on a real cluster 4N executors bring 4x the memory (and 4x
+# the GC threads, memory buses, page caches) — a fixed-size JVM on a fixed
+# 32-core host would hand the small config 32 GC threads and the large
+# config no extra bandwidth, biasing both pairs.
+
+
 def spark_submit(cores: int, zip_path: str, log_dir: str,
                  table: str, reps: int) -> dict:
     cmd = [
+        "taskset", "-c", f"0-{cores - 1}",     # pin to a cpuset of N cores
         "spark-submit",
         "--master", f"local[{cores}]",
-        "--driver-memory", "20g",
+        "--driver-memory", MEM[cores],
+        "--conf", f"spark.driver.extraJavaOptions=-XX:ActiveProcessorCount={cores}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.shuffle.partitions=64",  # identical plan at every size
         "--conf", "spark.sql.session.timeZone=UTC",
@@ -85,7 +94,8 @@ def main() -> None:
     log_dir = os.path.join(work, "log")
 
     if not os.path.isdir(log_dir):
-        from cdc.session import get_spark
+        os.environ.setdefault("CDC_DRIVER_MEM", "64g")  # gen persists the
+        from cdc.session import get_spark                # full event frame
         from cdc.testing.gen import gen_change_events, write_change_log
         spark = get_spark("scale-gen", cores=32)
         ev = gen_change_events(spark, n_keys=args.keys, mean_events_per_key=10,

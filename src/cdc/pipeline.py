@@ -50,6 +50,8 @@ def apply_batch(
     winner rows; readers reconcile, compaction folds)."""
     if table.is_committed(batch_key):
         return table.current_snapshot()
+    if events.isEmpty():  # fully-applied tail: no empty snapshot churn
+        return table.current_snapshot()
     t0 = time.monotonic()
     # No standalone dedup pass: verbatim at-least-once re-deliveries are
     # identical rows, so they collapse inside the LWW max_by / row_number
@@ -108,7 +110,9 @@ def replay(
         key = f"replay-from-{after + 1}"
         before = table.current_snapshot()
         snap = apply_batch(spark, table, log, key, normalize, lww_via, metrics, mode)
-        if before is not None and snap["snapshot_id"] == before["snapshot_id"]:
+        unchanged = snap is None or (
+            before is not None and snap["snapshot_id"] == before["snapshot_id"])
+        if unchanged:
             res.n_skipped += 1
         else:
             res.n_commits += 1
