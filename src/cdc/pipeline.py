@@ -50,7 +50,9 @@ def apply_batch(
     winner rows; readers reconcile, compaction folds)."""
     if table.is_committed(batch_key):
         return table.current_snapshot()
-    if events.isEmpty():  # fully-applied tail: no empty snapshot churn
+    # resume-path guard only: a fully-applied tail must not commit an empty
+    # snapshot. Fresh tables skip the probe job entirely.
+    if table.lsn_high() >= 0 and events.isEmpty():
         return table.current_snapshot()
     t0 = time.monotonic()
     # No standalone dedup pass: verbatim at-least-once re-deliveries are

@@ -143,28 +143,39 @@ class CdcTable:
              .sortWithinPartitions(*self.key_cols)
              .write.mode("overwrite").partitionBy(PART_COL).parquet(out_dir))
 
-        stats = {int(r[PART_COL]): r for r in
-                 df.groupBy(PART_COL).agg(F.count(F.lit(1)).alias("rows"),
-                                          F.min("_lsn").alias("lsn_min"),
-                                          F.max("_lsn").alias("lsn_max")).collect()}
+        # per-file row counts + lsn bounds straight from the parquet footers
+        # (driver-side metadata read, no Spark job — footer stats exist
+        # because parquet tracks column min/max per row group anyway)
+        import pyarrow.parquet as pq
+
         ddl = schema_ddl(df.schema, drop=(PART_COL,))
+        lsn_idx = [f.name for f in df.schema.fields if f.name != PART_COL].index("_lsn")
         entries = []
-        for p, st in sorted(stats.items()):
-            pdir = os.path.join(out_dir, f"{PART_COL}={p}")
-            if not os.path.isdir(pdir):
+        for dname in sorted(os.listdir(out_dir)):
+            if not dname.startswith(f"{PART_COL}="):
                 continue
+            p = int(dname.split("=", 1)[1])
+            pdir = os.path.join(out_dir, dname)
             for name in sorted(os.listdir(pdir)):
-                if name.endswith(".parquet"):
-                    entries.append({
-                        "path": f"{rel_dir}/{PART_COL}={p}/{name}",
-                        "part": p,
-                        "rows": int(st["rows"]),
-                        "lsn_min": int(st["lsn_min"]),
-                        "lsn_max": int(st["lsn_max"]),
-                        "columns": ddl,
-                        "origin": "added",
-                        "kind": kind,
-                    })
+                if not name.endswith(".parquet"):
+                    continue
+                meta = pq.ParquetFile(os.path.join(pdir, name)).metadata
+                lo, hi = None, None
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(lsn_idx).statistics
+                    if st is not None and st.has_min_max:
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                entries.append({
+                    "path": f"{rel_dir}/{dname}/{name}",
+                    "part": p,
+                    "rows": int(meta.num_rows),
+                    "lsn_min": int(lo if lo is not None else -1),
+                    "lsn_max": int(hi if hi is not None else -1),
+                    "columns": ddl,
+                    "origin": "added",
+                    "kind": kind,
+                })
         return entries, ddl
 
     def commit_delta(self, spark: SparkSession, batch_final: DataFrame,
@@ -187,15 +198,12 @@ class CdcTable:
 
         rows = M.batch_to_state_rows(batch_final, keys=self.key_cols)
         rows = rows.withColumn(PART_COL, part_expr(self.key_cols[0], self.n_partitions))
-        rows = rows.persist()
-        try:
-            agg = rows.agg(F.max("_lsn").alias("h")).collect()[0]
-            batch_lsn_high = (int(agg["h"]) if agg["h"] is not None
-                              else (parent["lsn_high"] if parent else 0))
-            sid = (parent["snapshot_id"] if parent else 0) + 1
-            entries, ddl = self._write_data(rows, sid, kind="delta")
-        finally:
-            rows.unpersist()
+        sid = (parent["snapshot_id"] if parent else 0) + 1
+        # one job total: the write; lsn bounds come back from the footers
+        entries, ddl = self._write_data(rows, sid, kind="delta")
+        lsn_maxes = [e["lsn_max"] for e in entries if e["lsn_max"] >= 0]
+        batch_lsn_high = (max(lsn_maxes) if lsn_maxes
+                          else (parent["lsn_high"] if parent else 0))
 
         carried = [{**f, "origin": "existing"} for f in (parent["files"] if parent else [])]
         snap = store.new_snapshot(
@@ -235,13 +243,9 @@ class CdcTable:
         merged = merged.withColumn(PART_COL, part_expr(self.key_cols[0], self.n_partitions))
 
         sid = (parent["snapshot_id"] if parent else 0) + 1
-        # _write_data runs the plan twice (data write + per-partition stats);
-        # cache the merged state so the join/LWW upstream executes once.
-        merged = merged.persist()
-        try:
-            entries, ddl = self._write_data(merged, sid)
-        finally:
-            merged.unpersist()
+        # single consumer now (file stats come from parquet footers, not a
+        # second Spark job) — no cache needed
+        entries, ddl = self._write_data(merged, sid)
 
         carried = []
         if parent:
