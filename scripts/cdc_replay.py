@@ -81,6 +81,11 @@ def main() -> None:
         results.append(wall)
         print(f"rep {i}: {wall:.2f}s  ({int(n_events / wall)} events/sec)",
               file=sys.stderr)
+        if args.reps > 1 and i < args.reps - 1:
+            # bench mode: drop the timed table so rep N+1 isn't measured
+            # under the tmpfs/page-cache pressure of N accumulated copies
+            import shutil
+            shutil.rmtree(root, ignore_errors=True)
 
     steady = min(results[1:]) if len(results) > 1 else results[0]
     out = {

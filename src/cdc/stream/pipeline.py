@@ -36,14 +36,24 @@ def stream_events(spark: SparkSession, log_dir: str,
                   registry: SchemaRegistry | None = None,
                   watermark: str = DEFAULT_WATERMARK,
                   max_files_per_trigger: int | None = None,
-                  dedup_within_watermark: bool = True) -> DataFrame:
-    """S3 + T1 + T5: streaming tail with event-time watermark and
-    state-bounded exact dedup (at-least-once sources re-deliver verbatim
-    rows; the watermark bounds how much (batch_id, lsn) state is kept)."""
+                  dedup_within_watermark: bool = False) -> DataFrame:
+    """S3 + T1 + T5: streaming tail, optionally with event-time watermark +
+    state-bounded exact dedup.
+
+    ``dedup_within_watermark`` is OFF by default on the table-sink path:
+    ``dropDuplicatesWithinWatermark`` also drops rows later than the
+    watermark, but the engine's ordering authority is the LSN, not event
+    time — a 15-minute-late event with a fresh LSN must still apply
+    (SURVEY.md §2.B T1: LSN order wins over event time). The MERGE path is
+    duplicate-tolerant anyway (verbatim re-deliveries collapse in the LWW
+    aggregate within an epoch, and re-deliveries across epochs re-apply an
+    identical row under the lsn>= guard), so in-stream dedup is a pure
+    optimization for pathological duplicate rates — turn it on only when
+    the source's lateness is bounded by the watermark."""
     registry = registry or default_registry()
     s = stream_log(spark, log_dir, registry, max_files_per_trigger)
-    s = s.withWatermark("ts", watermark)
     if dedup_within_watermark:
+        s = s.withWatermark("ts", watermark)
         s = s.dropDuplicatesWithinWatermark(["batch_id", "lsn"])
     return s
 

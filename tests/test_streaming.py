@@ -17,7 +17,9 @@ from cdc.testing.gen import gen_change_events, write_change_log
 def log_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("streamlog"))
     ev = gen_change_events(spark, n_keys=800, mean_events_per_key=6, seed=5)
-    write_change_log(ev, d, events_per_file=1_000)
+    # small files -> several non-empty micro-batches under maxFilesPerTrigger
+    # (empty trailing epochs no longer commit, by design)
+    write_change_log(ev, d, events_per_file=300)
     return d
 
 
@@ -90,7 +92,10 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     write_change_log(ev, d, events_per_file=10_000)
 
     seen = []
-    src = stream_events(spark, d, watermark="30 minutes")
+    # 30-min watermark covers the fixture's 15-min max lateness, so the
+    # bounded-state dedup drops only true duplicates here
+    src = stream_events(spark, d, watermark="30 minutes",
+                        dedup_within_watermark=True)
     q = (src.writeStream.foreachBatch(lambda df, eid: seen.append(df.count()))
          .option("checkpointLocation", str(tmp_path / "ck"))
          .trigger(availableNow=True).start())
