@@ -116,9 +116,9 @@ WITH last AS (
   FROM events GROUP BY user_id
 )
 SELECT user_id,
-       concat(et, ':', printf('%.2f', v)) AS content,
+       concat(et, ':', CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR)) AS content,
        lsn AS _lsn,
-       sha256(concat(et, ':', printf('%.2f', v))) AS _content_sha256
+       sha256(concat(et, ':', CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR))) AS _content_sha256
 FROM last WHERE et <> 'error'
 """)
 def j1_merge_full_outer(spark, sf_dir):
@@ -130,8 +130,12 @@ def j1_merge_full_outer(spark, sf_dir):
         "ts",
         F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
         F.col("user_id"),
+        # DECIMAL(18,2) cast on BOTH sides: Java format_string rounds
+        # HALF_UP while C printf rounds half-to-even, so a midpoint value
+        # (0.125) would diverge data-dependently; decimal casts round
+        # half-away-from-zero and render "x.yz" identically on both engines.
         F.concat(F.col("event_type"), F.lit(":"),
-                 F.format_string("%.2f", F.col("value"))).alias("content"),
+                 F.col("value").cast("decimal(18,2)").cast("string")).alias("content"),
         (F.col("event_id") / 1000).cast("long").alias("batch_id"),
     )
     b1 = last_writer_wins(ev.filter(F.col("lsn") < 5000),

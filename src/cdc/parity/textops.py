@@ -77,7 +77,13 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc, as (doc_id, shingle) rows.
     Pure column ops: split -> transform(sequence) -> explode."""
     words = F.split(F.trim(F.col("text")), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1)))
+    # short docs (< n words) must yield ZERO shingles: an unguarded
+    # sequence(0, size-n) DESCENDS when size < n (e.g. [0,-1]) and
+    # element_at(words, 0) throws — guard with an empty index array,
+    # matching the oracle's empty generate_series(1, len-2).
+    idx = F.when(F.size(words) >= n,
+                 F.sequence(F.lit(0), F.size(words) - n)
+                 ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(idx, lambda i: F.concat_ws(
         " ", *[F.element_at(words, (i + k + 1).cast("int")) for k in range(n)]))
     return (df.select("doc_id", F.explode(sh).alias("shingle"))

@@ -38,7 +38,7 @@ def apply_batch(
     events: DataFrame,
     batch_key: str,
     normalize: bool = True,
-    lww_via: str = "maxby",
+    lww_via: str = "auto",
     metrics: bool = True,
     mode: str = "cow",
 ) -> dict:
@@ -47,7 +47,14 @@ def apply_batch(
 
     ``mode='cow'`` — copy-on-write MERGE (rewrite touched partitions).
     ``mode='mor'`` — merge-on-read delta append (write only the batch's
-    winner rows; readers reconcile, compaction folds)."""
+    winner rows; readers reconcile, compaction folds).
+
+    ``lww_via='auto'`` — the skew planner measures the batch's key profile
+    with one NARROW agg pass (key columns only; parquet column pruning keeps
+    the wide content column unread) and picks: 'semi' when the winner-key
+    set fits a broadcast (the wide content column then never shuffles —
+    the default-replay scaling win), 'salted' for hot keys beyond the task
+    budget, else 'maxby'."""
     if table.is_committed(batch_key):
         return table.current_snapshot()
     # resume-path guard only: a fully-applied tail must not commit an empty
@@ -55,11 +62,15 @@ def apply_batch(
     if table.lsn_high() >= 0 and events.isEmpty():
         return table.current_snapshot()
     t0 = time.monotonic()
+    salt = 32
+    if lww_via == "auto":
+        from cdc.skew import plan_lww
+        lww_via, salt = plan_lww(events)
     # No standalone dedup pass: verbatim at-least-once re-deliveries are
     # identical rows, so they collapse inside the LWW max_by / row_number
     # itself — one wide-content shuffle instead of two. (dedupe_exact (A2)
     # remains the standalone operator for metrics and streaming state.)
-    final = last_writer_wins(events, via=lww_via)
+    final = last_writer_wins(events, via=lww_via, salt_buckets=salt)
     if normalize:
         # normalization is per-row deterministic, so it commutes with the
         # LWW collapse: applying it to the ~1-row-per-key winners instead of
@@ -83,6 +94,19 @@ def apply_batch(
     return snap
 
 
+def _committed_batch_hi(table: CdcTable) -> int:
+    """Highest producer batch_id covered by a committed batch GROUP
+    (ledger keys ``b<lo>-<hi>``); -1 when no grouped commit exists."""
+    snap = table.current_snapshot()
+    hi = -1
+    for key in (snap["committed_batches"] if snap else []):
+        if key.startswith("b") and "-" in key:
+            lo_s, _, hi_s = key[1:].partition("-")
+            if lo_s.isdigit() and hi_s.isdigit():
+                hi = max(hi, int(hi_s))
+    return hi
+
+
 def replay(
     spark: SparkSession,
     log_dir: str,
@@ -90,25 +114,41 @@ def replay(
     registry: SchemaRegistry | None = None,
     batches_per_commit: int | None = None,
     normalize: bool = True,
-    lww_via: str = "maxby",
+    lww_via: str = "auto",
     metrics: bool = True,
     mode: str = "cow",
+    reorder_horizon: int = 0,
 ) -> ReplayResult:
     """Resume-safe batch replay of the whole log tail.
 
     ``batches_per_commit=None`` -> one transactional commit for the full
     tail (fastest; still atomic). An integer k groups producer batch_ids
-    into commits of k, giving checkpoint granularity: a killed replay
-    resumes after the last committed group (lsn > table.lsn_high pushes the
-    skip down to parquet footers — resumed work is O(remaining), not O(log)).
+    into commits of k, giving checkpoint granularity.
+
+    Resume filters (crash-safety under event reordering):
+    - grouped mode resumes BATCH-scoped: the tail filter is
+      ``batch_id > max committed group hi`` — an event whose lsn is below
+      the global high-water mark but that arrives in a later producer batch
+      is still applied (the tombstone design's premise). The batch_id
+      predicate pushes to parquet footers exactly like the lsn one.
+    - full-tail mode resumes on ``lsn > lsn_high - reorder_horizon``: with
+      the default horizon 0 the log append is assumed lsn-monotone; sources
+      with a bounded reordering window set ``reorder_horizon`` to it and the
+      idempotent ``lsn >=`` merge guard discards the re-read overlap.
+
+    ``lww_via='auto'`` lets the skew planner (cdc.skew.plan_lww) pick the
+    collapse strategy per tail: 'semi' when the winner-key set fits a
+    broadcast (wide content never shuffles), 'salted' for hot keys, else
+    'maxby'.
     """
     registry = registry or default_registry()
     res = ReplayResult()
     t0 = time.monotonic()
     after = table.lsn_high()
-    log = read_log(spark, log_dir, registry, after_lsn=after)
 
     if batches_per_commit is None:
+        log = read_log(spark, log_dir, registry,
+                       after_lsn=max(-1, after - max(0, reorder_horizon)))
         key = f"replay-from-{after + 1}"
         before = table.current_snapshot()
         snap = apply_batch(spark, table, log, key, normalize, lww_via, metrics, mode)
@@ -120,6 +160,12 @@ def replay(
             res.n_commits += 1
             res.batch_keys.append(key)
     else:
+        bhi = _committed_batch_hi(table)
+        log = read_log(spark, log_dir, registry)
+        if bhi >= 0:
+            # batch-scoped resume (see docstring): pushes to footers because
+            # write_change_log files are contiguous in batch_id too.
+            log = log.filter(F.col("batch_id") > bhi)
         bids = [r[0] for r in log.select("batch_id").distinct().orderBy("batch_id").collect()]
         for i in range(0, len(bids), batches_per_commit):
             group = bids[i : i + batches_per_commit]

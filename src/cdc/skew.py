@@ -57,11 +57,24 @@ def choose_salt(stats: dict, target_rows_per_task: int = 100_000,
 
 
 def plan_lww(events: DataFrame, keys=("repo", "path"),
-             target_rows_per_task: int = 100_000) -> tuple[str, int]:
-    """Decide the LWW strategy for a batch: ('maxby', 1) when partial
-    aggregation suffices (the default — map-side combine already collapses
-    hot keys), or ('salted', S) when a caller insists on window ranking
-    over a skewed stream."""
+             target_rows_per_task: int = 100_000,
+             broadcast_keys_max: int = 4_000_000) -> tuple[str, int]:
+    """Decide the LWW strategy for a batch.
+
+    ('semi', 1)   — when the winner-key set fits a broadcast (~keys x 50 B;
+                    default cap 4M keys ~ 200 MB): winners are found over a
+                    NARROW (keys+order) shuffle and broadcast back as a
+                    left-semi filter, so the wide content column never
+                    shuffles. This is the default-replay path — commit
+                    chunking (batches_per_commit) bounds the key set.
+    ('salted', S) — hot keys beyond the per-task budget AND too many keys
+                    to broadcast: two-stage salted window ranking.
+    ('maxby', 1)  — the skew-robust fallback (map-side partial agg).
+
+    One narrow agg job over the key columns; parquet column pruning keeps
+    the wide payload unread."""
     stats = skew_stats(events, keys)
+    if 0 < stats["n_keys"] <= broadcast_keys_max:
+        return ("semi", 1)
     s = choose_salt(stats, target_rows_per_task)
     return ("maxby", 1) if s == 1 else ("salted", s)

@@ -103,6 +103,7 @@ class CdcTable:
             wanted = set(int(p) for p in parts)
             files = [f for f in files if int(f["part"]) in wanted]
         target = T.StructType.fromDDL(snap["schema_ddl"])
+        has_delta = any(f.get("kind") == "delta" for f in files)
         if not files:
             df = spark.createDataFrame([], target)
         else:
@@ -111,17 +112,32 @@ class CdcTable:
                 by_ddl.setdefault(f["columns"], []).append(os.path.join(self.root, f["path"]))
             dfs = []
             for ddl, paths in sorted(by_ddl.items()):
-                dfs.append(spark.read.schema(ddl).parquet(*paths))
+                d = spark.read.schema(ddl).parquet(*paths)
+                if has_delta:
+                    # layer ordinal = snapshot id baked into the staging dir
+                    # name; computed at scan time (input_file_name is only
+                    # valid inside the scan stage, before any shuffle).
+                    d = d.withColumn("_layer", F.regexp_extract(
+                        F.input_file_name(), r"snap-(\d+)", 1).cast("long"))
+                dfs.append(d)
             df = dfs[0]
             for d in dfs[1:]:
                 df = df.unionByName(d, allowMissingColumns=True)
-            df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields])
-        if any(f.get("kind") == "delta" for f in files):
+            cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+            if has_delta:
+                cols.append(F.col("_layer"))
+            df = df.select(*cols)
+        if has_delta:
             # merge-on-read reconcile: several layers may carry the same key
-            # (base + delta commits); the highest _lsn row wins — identical
-            # semantics to the write-side MERGE guard, paid at read time.
+            # (base + delta commits); highest _lsn wins — identical to the
+            # write-side MERGE guard, paid at read time. Equal-_lsn ties
+            # across layers (same-lsn tombstone vs update in different delta
+            # commits) resolve deterministically in COMMIT ORDER via the
+            # _layer ordinal, matching CoW's batch-wins (>=) semantics.
             from cdc.dedup import last_writer_wins
-            df = last_writer_wins(df, keys=self.key_cols, order=("_lsn",), via="maxby")
+            df = last_writer_wins(df, keys=self.key_cols,
+                                  order=("_lsn", "_layer"), via="maxby")
+            df = df.drop("_layer")
         if not include_deleted and "_deleted" in df.columns:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df.withColumn(PART_COL, part_expr(self.key_cols[0], self.n_partitions))
@@ -144,38 +160,53 @@ class CdcTable:
              .write.mode("overwrite").partitionBy(PART_COL).parquet(out_dir))
 
         # per-file row counts + lsn bounds straight from the parquet footers
-        # (driver-side metadata read, no Spark job — footer stats exist
-        # because parquet tracks column min/max per row group anyway)
+        # (metadata-only reads, no second Spark job — parquet tracks column
+        # min/max per row group anyway). Footer reads are I/O-bound and
+        # independent, so they fan out on a thread pool: at 1000+ files per
+        # commit the stats step is bounded by the slowest footer, not the
+        # file count. (pyarrow releases the GIL during the read.)
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
         ddl = schema_ddl(df.schema, drop=(PART_COL,))
         lsn_idx = [f.name for f in df.schema.fields if f.name != PART_COL].index("_lsn")
-        entries = []
+
+        targets = []
         for dname in sorted(os.listdir(out_dir)):
             if not dname.startswith(f"{PART_COL}="):
                 continue
             p = int(dname.split("=", 1)[1])
             pdir = os.path.join(out_dir, dname)
             for name in sorted(os.listdir(pdir)):
-                if not name.endswith(".parquet"):
-                    continue
-                meta = pq.ParquetFile(os.path.join(pdir, name)).metadata
-                lo, hi = None, None
-                for rg in range(meta.num_row_groups):
-                    st = meta.row_group(rg).column(lsn_idx).statistics
-                    if st is not None and st.has_min_max:
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-                entries.append({
-                    "path": f"{rel_dir}/{dname}/{name}",
-                    "part": p,
-                    "rows": int(meta.num_rows),
-                    "lsn_min": int(lo if lo is not None else -1),
-                    "lsn_max": int(hi if hi is not None else -1),
-                    "columns": ddl,
-                    "origin": "added",
-                    "kind": kind,
-                })
+                if name.endswith(".parquet"):
+                    targets.append((p, dname, name, os.path.join(pdir, name)))
+
+        def footer_entry(t):
+            p, dname, name, full = t
+            meta = pq.ParquetFile(full).metadata
+            lo, hi = None, None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(lsn_idx).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            return {
+                "path": f"{rel_dir}/{dname}/{name}",
+                "part": p,
+                "rows": int(meta.num_rows),
+                "lsn_min": int(lo if lo is not None else -1),
+                "lsn_max": int(hi if hi is not None else -1),
+                "columns": ddl,
+                "origin": "added",
+                "kind": kind,
+            }
+
+        if len(targets) <= 2:
+            entries = [footer_entry(t) for t in targets]
+        else:
+            with ThreadPoolExecutor(max_workers=min(16, len(targets))) as ex:
+                entries = list(ex.map(footer_entry, targets))
         return entries, ddl
 
     def commit_delta(self, spark: SparkSession, batch_final: DataFrame,
@@ -202,8 +233,11 @@ class CdcTable:
         # one job total: the write; lsn bounds come back from the footers
         entries, ddl = self._write_data(rows, sid, kind="delta")
         lsn_maxes = [e["lsn_max"] for e in entries if e["lsn_max"] >= 0]
+        # empty-first-commit fallback is -1 (the empty-table sentinel used by
+        # lsn_high()): recording 0 would silently drop a genuine lsn=0 event
+        # from a later resume's `lsn > lsn_high` predicate.
         batch_lsn_high = (max(lsn_maxes) if lsn_maxes
-                          else (parent["lsn_high"] if parent else 0))
+                          else (parent["lsn_high"] if parent else -1))
 
         carried = [{**f, "origin": "existing"} for f in (parent["files"] if parent else [])]
         snap = store.new_snapshot(
@@ -230,8 +264,8 @@ class CdcTable:
         batch = batch_final.withColumn(PART_COL, part_expr(self.key_cols[0], self.n_partitions))
         agg = batch.agg(F.max("lsn").alias("h"),
                         F.collect_set(PART_COL).alias("parts")).collect()[0]
-        if agg["h"] is None:  # empty batch
-            touched, batch_lsn_high = [], (parent["lsn_high"] if parent else 0)
+        if agg["h"] is None:  # empty batch; -1 = the empty-table lsn sentinel
+            touched, batch_lsn_high = [], (parent["lsn_high"] if parent else -1)
         else:
             touched, batch_lsn_high = sorted(agg["parts"]), int(agg["h"])
 

@@ -114,3 +114,32 @@ def test_mixed_mode_commits(spark, log_env, tmp_path):
     cow = CdcTable(str(tmp_path / "cow_ref"), n_partitions=4)
     replay(spark, log_env["log_dir"], cow, metrics=False)
     assert live_set(spark, t) == live_set(spark, cow)
+
+
+def test_mor_equal_lsn_ties_resolve_in_commit_order(spark, tmp_path):
+    """ADVICE.md round-1 (low): equal-_lsn rows landing in different delta
+    layers must reconcile deterministically in COMMIT order (later layer
+    wins), matching CoW's batch-wins (>=) merge semantics — not an
+    arbitrary max_by tie-break."""
+    import datetime
+    t0 = datetime.datetime(2026, 1, 1)
+    ddl = ("repo string, path string, content string, lsn long, "
+           "ts timestamp, op string, batch_id long")
+
+    def batch(op, content):
+        return spark.createDataFrame(
+            [("r0", "k.py", content, 7, t0, op, 0)], ddl)
+
+    # same-lsn delete tombstone then update, in separate delta commits:
+    # the LATER commit must win on read.
+    t = CdcTable(str(tmp_path / "a"), n_partitions=2)
+    t.commit_delta(spark, batch("D", None), "b1")
+    t.commit_delta(spark, batch("U", "v2"), "b2")
+    rows = t.read(spark).collect()
+    assert [(r["path"], r["content"], r["_lsn"]) for r in rows] == [("k.py", "v2", 7)]
+
+    # reversed commit order: the delete is the later layer -> key is dead.
+    t2 = CdcTable(str(tmp_path / "b"), n_partitions=2)
+    t2.commit_delta(spark, batch("U", "v2"), "b1")
+    t2.commit_delta(spark, batch("D", None), "b2")
+    assert t2.read(spark).count() == 0

@@ -89,9 +89,16 @@ def test_choose_salt_thresholds():
 
 
 def test_plan_lww_on_generated_stream(spark, env):
+    # bounded key set -> semi (narrow winner shuffle, wide payload never moves)
     via, salt = plan_lww(env["events"], target_rows_per_task=100_000)
-    assert via == "maxby" and salt == 1  # no key exceeds the budget
-    via2, salt2 = plan_lww(env["events"], keys=("repo",), target_rows_per_task=50)
+    assert via == "semi" and salt == 1
+    # too many keys to broadcast + no hot key -> skew-robust maxby
+    via1, salt1 = plan_lww(env["events"], target_rows_per_task=100_000,
+                           broadcast_keys_max=10)
+    assert via1 == "maxby" and salt1 == 1
+    # too many keys to broadcast + hot key beyond budget -> salted window
+    via2, salt2 = plan_lww(env["events"], keys=("repo",),
+                           target_rows_per_task=50, broadcast_keys_max=10)
     assert via2 == "salted" and salt2 > 1
 
 
@@ -198,3 +205,21 @@ def test_commits_and_manifest_dataframes(spark, env, tmp_path):
     m = table.manifest_df(spark)
     assert m.count() == len(table.current_snapshot()["files"])
     assert m.filter(F.col("lsn_max") < F.col("lsn_min")).count() == 0
+
+
+# ---- text ops edge cases ----------------------------------------------------
+
+def test_shingles_short_docs_yield_zero_rows(spark):
+    """Docs with fewer words than the shingle size must produce NO shingles
+    (not an element_at(_, 0) crash from a descending sequence) — ADVICE.md
+    round-1 finding on cdc.parity.textops._shingles."""
+    from cdc.parity.textops import _shingles
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three"),
+         (5, "a b c d")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["shingle"] for r in _shingles(df, n=3).collect()}
+    assert 1 not in rows and 2 not in rows and 3 not in rows
+    assert rows[4] == "one two three"
+    out = _shingles(df, n=3).groupBy("doc_id").count().collect()
+    assert {r["doc_id"]: r["count"] for r in out} == {4: 1, 5: 2}

@@ -158,3 +158,42 @@ def test_normalization_affects_sha(spark, tmp_path):
     out = df.select(normalize_content("content").alias("n")).collect()[0]["n"]
     assert out == "a\nb\n c"
     assert hashlib.sha256(out.encode()).hexdigest() != hashlib.sha256(b"a \r\nb\t\n c  ").hexdigest()
+
+
+def test_grouped_resume_applies_reordered_lower_lsn_batches(spark, tmp_path):
+    """ADVICE.md round-1 (medium): a crash-resume must NOT drop events whose
+    lsn is below the global high-water mark when they arrive in a LATER
+    producer batch — grouped replay resumes batch-scoped, not lsn-scoped."""
+    import pyspark.sql.functions as F
+    from cdc.pipeline import replay
+    from cdc.table.table import CdcTable
+
+    cols = ("lsn", "ts", "op", "repo", "path", "commit", "lang", "content",
+            "schema_version", "batch_id", "size_bytes", "score")
+    ddl = ("lsn long, ts timestamp, op string, repo string, path string, "
+           "commit string, lang string, content string, schema_version int, "
+           "batch_id long, size_bytes long, score double")
+
+    def rows(df_rows):
+        df = spark.createDataFrame(df_rows, ddl)
+        return df.select(*cols)
+
+    import datetime
+    t = datetime.datetime(2026, 1, 1)
+    log_dir = tmp_path / "log" / "v=3"
+    log_dir.mkdir(parents=True)
+    # batch 0: keys A (lsn 10) and B (lsn 20)
+    rows([(10, t, "I", "r0", "a.py", "c1", "python", "A1", 3, 0, 2, 0.0),
+          (20, t, "I", "r0", "b.py", "c2", "python", "B1", 3, 0, 2, 0.0)],
+         ).coalesce(1).write.mode("append").parquet(str(log_dir))
+    table = CdcTable(str(tmp_path / "table"), n_partitions=2)
+    replay(spark, str(tmp_path / "log"), table, batches_per_commit=1, metrics=False)
+    assert table.lsn_high() == 20
+
+    # batch 1 arrives AFTER the crash/commit: carries key C with lsn 15 —
+    # below the global high-water mark but never applied.
+    rows([(15, t, "I", "r0", "c.py", "c3", "python", "C1", 3, 1, 2, 0.0)],
+         ).coalesce(1).write.mode("append").parquet(str(log_dir))
+    replay(spark, str(tmp_path / "log"), table, batches_per_commit=1, metrics=False)
+    state = {r["path"]: r["_lsn"] for r in table.read(spark).collect()}
+    assert state == {"a.py": 10, "b.py": 20, "c.py": 15}
