@@ -41,6 +41,11 @@ def main() -> None:
                     help="cow = rewrite touched partitions per commit; "
                          "mor = append delta layers, reconcile on read")
     ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--layout", choices=["repo_hash", "key_hash"],
+                    default="repo_hash",
+                    help="key_hash: table partitions = Spark's own hash "
+                         "partition of the key, so commits skip their "
+                         "write repartition (one wide shuffle per commit)")
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--no-metrics", action="store_true")
     ap.add_argument("--json", action="store_true")
@@ -67,7 +72,7 @@ def main() -> None:
     results = []
     for i in range(args.reps):
         root = args.table if args.reps == 1 else f"{args.table}-rep{i}"
-        table = CdcTable(root, n_partitions=args.partitions)
+        table = CdcTable(root, n_partitions=args.partitions, layout=args.layout)
         t0 = time.monotonic()
         if args.stream:
             stream_to_table(spark, args.log_dir, table,

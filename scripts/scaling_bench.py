@@ -68,7 +68,7 @@ def spark_submit(cores: int, zip_path: str, log_dir: str,
         "--py-files", zip_path,
         os.path.join(REPO, "scripts", "cdc_replay.py"),
         "--log-dir", log_dir, "--table", table,
-        "--partitions", "32", "--reps", str(reps),
+        "--partitions", "32", "--layout", "key_hash", "--reps", str(reps),
         "--lww-via", "semi", "--json",
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
@@ -140,13 +140,14 @@ def main() -> None:
 
 North rule criterion: throughput scaling efficiency >= 0.8 between N and 4N
 executors. Sandbox proxy (no real cluster): the same
-`spark-submit --py-files dist/cdc.zip scripts/cdc_replay.py --lww-via semi`
+`spark-submit --py-files dist/cdc.zip scripts/cdc_replay.py --lww-via semi --layout key_hash`
 job at three parallelism levels over one pre-generated change log
 ({summary['events']:,} events, ~3.6 KB content each), fresh JVM per
 configuration, {args.reps} reps per JVM, steady-state = min of warm reps
 (JIT excluded symmetrically). Identical physical plans at every size
-(fixed shuffle partitions = 64, table partitions = 32); only core count
-varies.
+(fixed shuffle partitions = 64, table partitions = 32, key_hash layout:
+the committer reuses the LWW clustering — ONE wide shuffle per commit);
+only core count varies.
 
 | config | cold (s) | steady (s) | events/sec |
 |---|---|---|---|

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 LATE_SECONDS = 600  # watermark analog: events >10 min behind the partition max
@@ -20,38 +20,49 @@ def batch_lineage_metrics(events_raw: DataFrame, part_col: str = "part") -> Data
     """Per-partition counters for one batch: op mix, dedup drops, late rows,
     lsn bounds, distinct-path cardinality (HLL).
 
-    Single-pass over the raw (pre-dedup) stream, and the scan never touches
-    the wide ``content`` column — duplicate-delivery accounting is a
-    count(distinct (batch_id, lsn)) rather than a materialized dedup, so
-    the metrics job shuffles narrow key/count columns only. (The merge path
-    itself doesn't need a dedup pass at all: verbatim re-deliveries collapse
-    inside the LWW max_by/row_number — cdc.pipeline.apply_batch.)
+    One full (narrow-column) pass over the raw stream — the scan never
+    touches the wide ``content`` column, and duplicate-delivery accounting
+    folds into the same (part,batch,lsn)-granularity aggregate rather than
+    a separate materialized dedup. (The merge path itself doesn't need a
+    dedup pass at all: verbatim re-deliveries collapse inside the LWW
+    max_by/row_number — cdc.pipeline.apply_batch.)
 
-    "Late" is measured against the *partition* max ts (a per-partition
-    window, parallel by construction) rather than a global max, which would
-    need a single-task global window."""
+    "Late" is measured against the *partition* max ts, gathered first from
+    a 2-column scan and broadcast back (P rows) — never a single-task
+    global window or a whole-batch re-shuffle."""
     narrow = events_raw.select(part_col, "batch_id", "lsn", "ts", "op", "path")
-    raw = narrow.groupBy(part_col).agg(F.count(F.lit(1)).alias("n_raw"))
-    ded = narrow.dropDuplicates(["batch_id", "lsn"])
-    max_ts = F.max("ts").over(Window.partitionBy(part_col))
-    agg = (
-        ded.withColumn("_batch_max_ts", max_ts)
-        .groupBy(part_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_ins"),
-            F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_upd"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_del"),
-            F.sum(F.when(F.col("ts") < F.col("_batch_max_ts") - F.expr(f"INTERVAL {LATE_SECONDS} SECONDS"), 1).otherwise(0)).alias("n_late"),
-            F.min("lsn").alias("lsn_low"),
-            F.max("lsn").alias("lsn_high"),
-            F.approx_count_distinct("path").alias("approx_paths"),
-        )
-    )
-    return (raw.join(agg, part_col, "full_outer")
-            .withColumn("n_dedup_dropped",
-                        F.coalesce(F.col("n_raw"), F.lit(0))
-                        - F.coalesce(F.col("n_events"), F.lit(0))))
+    # phase 1 — per-partition max ts from a TWO-column scan (repo-derived
+    # part + ts only; column pruning keeps everything else unread). The
+    # result is P rows, broadcast into the main pass: never a
+    # max-over-window re-shuffle of the whole batch.
+    maxes = (narrow.select(part_col, "ts").groupBy(part_col)
+             .agg(F.max("ts").alias("_batch_max_ts")))
+    # phase 2 — ONE full scan + ONE shuffle: aggregate straight to
+    # (part, batch_id, lsn) granularity, so map-side partial agg collapses
+    # verbatim duplicate deliveries locally and carries their count — raw
+    # AND deduped counters come out of the same shuffled frame. (A dup
+    # group's other columns are identical by definition; max() picks the
+    # value. The late flag is constant within a group: dup copies carry the
+    # same ts.) Plan shape pinned by test_plans.py::test_metrics_single_pass.
+    late_flag = (F.col("ts") < F.col("_batch_max_ts")
+                 - F.expr(f"INTERVAL {LATE_SECONDS} SECONDS"))
+    ded = (narrow.join(F.broadcast(maxes), part_col)
+           .groupBy(part_col, "batch_id", "lsn")
+           .agg(F.count(F.lit(1)).alias("_copies"),
+                F.max("op").alias("op"),
+                F.max(late_flag.cast("int")).alias("_late"),
+                F.max("path").alias("path")))
+    return (ded.groupBy(part_col).agg(
+        F.sum("_copies").alias("n_raw"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_ins"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_upd"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_del"),
+        F.sum("_late").alias("n_late"),
+        F.min("lsn").alias("lsn_low"),
+        F.max("lsn").alias("lsn_high"),
+        F.approx_count_distinct("path").alias("approx_paths"),
+    ).withColumn("n_dedup_dropped", F.col("n_raw") - F.col("n_events")))
 
 
 def write_batch_metrics(metrics: DataFrame, table_root: str, batch_key: str,

@@ -457,12 +457,18 @@ SELECT decile, CAST(count(*) AS BIGINT) AS n_users, CAST(sum(n) AS BIGINT) AS n_
 FROM d GROUP BY decile
 """)
 def w4_ntile_deciles(spark, sf_dir):
-    """W4 — ntile: hot-key decile diagnostics (skew planner input)."""
+    """W4 — ntile: hot-key decile diagnostics (skew planner input).
+
+    Runs the DISTRIBUTED exact-ntile (cdc.skew.exact_ntile: per-value-group
+    windows + broadcast rank offsets) — bit-identical to the oracle's
+    global ``ntile(10) OVER (ORDER BY n DESC, user_id)`` without the
+    single-partition window sort."""
+    from cdc.skew import exact_ntile
     ev = _events(spark, sf_dir)
     totals = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
-    d = totals.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy(F.desc("n"), F.asc("user_id"))))
+    d = exact_ntile(totals, 10, value_col="n", tiebreak_cols=("user_id",)) \
+        .withColumnRenamed("ntile", "decile")
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("n").alias("n_events"),
         F.round(F.sum("sv"), 4).alias("sum_value"))

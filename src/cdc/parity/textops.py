@@ -308,3 +308,52 @@ def dedup_simhash(spark, sf_dir):
         term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_SIM_BANDS = 4          # bands over the 16-bit signature -> 4 bits per band
+_SIM_MAX_DIST = 3       # pigeonhole: <= 3 differing bits can corrupt at most
+                        # 3 of the 4 bands, so one band ALWAYS matches ->
+                        # the banded join finds every pair with dist <= 3
+
+
+@q("dedup_simhash_pairs", _CORPUS_SQL + """,
+w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM corpus
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 4))::BIGINT AS h FROM w),
+sig AS (SELECT doc_id, CAST(""" + _SIM_BIT_SQL + """ AS BIGINT) AS simhash
+        FROM h GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash PAIR EXTRACTION: banded Hamming-bucket self-join over the
+    16-bit signatures -> candidate pairs -> exact Hamming filter (<= 3).
+
+    The banding is COMPLETE for the distance bound (pigeonhole over 4
+    bands), so the output equals the oracle's all-pairs formulation while
+    the Spark plan never goes quadratic: the join is an equi-join on
+    (band, band_bits) — linear in corpus size + bucket fan-out at scale."""
+    sig = dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
+    bits_per_band = _SIMHASH_BITS // _SIM_BANDS
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * bits_per_band)
+                 .bitwiseAND(F.lit((1 << bits_per_band) - 1)).alias("bval"))
+        for b in range(_SIM_BANDS)])
+    banded = (sig.select("doc_id", "simhash", F.explode(band_arr).alias("bb"))
+              .select("doc_id", "simhash", F.col("bb.band").alias("band"),
+                      F.col("bb.bval").alias("bval")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bval") == F.col("b.bval"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .filter(ham <= _SIM_MAX_DIST)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    ham.cast("int").alias("hamming"))
+            .distinct())

@@ -169,16 +169,16 @@ def cdc_replay_full(spark, sf_dir):
         n_keys = max(100, int(100_000 * float(sf) / 2))
     except ValueError:
         n_keys = 500
-    work = tempfile.mkdtemp(prefix="cdc_replay_q_")
-    try:
-        log_dir = os.path.join(work, "log")
-        ev = gen_change_events(spark, n_keys=n_keys, mean_events_per_key=8, seed=7)
-        write_change_log(ev, log_dir, events_per_file=20_000)
-        table = CdcTable(os.path.join(work, "table"), n_partitions=8)
-        replay(spark, log_dir, table, batches_per_commit=None, metrics=False)
-        out = table.read(spark)
-        rows = out.select("repo", "path", "_lsn", "_content_sha256").collect()
-        return spark.createDataFrame(
-            rows, "repo string, path string, _lsn long, _content_sha256 string")
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    # deterministic per-sf scratch dir, wiped up front and left in place:
+    # the returned DataFrame is a LAZY scan of the committed table (no
+    # full-state collect to the driver — at larger sf that was a driver
+    # memory cliff); the caller collects whatever it needs.
+    work = os.path.join(tempfile.gettempdir(), "cdc_replay_q", f"sf{sf}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    log_dir = os.path.join(work, "log")
+    ev = gen_change_events(spark, n_keys=n_keys, mean_events_per_key=8, seed=7)
+    write_change_log(ev, log_dir, events_per_file=20_000)
+    table = CdcTable(os.path.join(work, "table"), n_partitions=8)
+    replay(spark, log_dir, table, batches_per_commit=None, metrics=False)
+    return table.read(spark).select("repo", "path", "_lsn", "_content_sha256")

@@ -99,3 +99,125 @@ def dedup_embed_cosine(spark, sf_dir):
     dup = (emb.filter(F.col("vec_id") % 100 == 0)
            .withColumn("vec_id", F.col("vec_id") + 100000))
     return cosine_near_dup_pairs(emb.unionByName(dup), threshold=0.95)
+
+
+# -- random-hyperplane LSH near-dup (the embedding-dedup scale path) ----------
+
+def _rh_sql() -> tuple[str, str]:
+    """(sig CTE column list, band UNION) with the SAME deterministic ±1
+    hyperplane matrix the Spark operator uses (cdc.vectors.rh_signs)."""
+    from cdc.vectors import RH_BANDS, RH_PLANES, rh_signs
+    signs = rh_signs(RH_PLANES, 64)
+    r = RH_PLANES // RH_BANDS
+    bit_cols = []
+    for p, plane in enumerate(signs):
+        lit = "[" + ", ".join(f"{float(s):.1f}" for s in plane) + "]"
+        dotp = (f"list_sum(list_transform(generate_series(1, 64), "
+                f"i -> ({lit}::DOUBLE[])[i] * CAST(embedding[i] AS DOUBLE)))")
+        bit_cols.append(f"(CASE WHEN {dotp} > 0 THEN 1 ELSE 0 END) AS bit{p}")
+    bands = " UNION ALL ".join(
+        "SELECT vec_id, embedding, {b} AS band, {v} AS bval FROM sig".format(
+            b=b, v=" + ".join(f"bit{b * r + j} * {1 << j}" for j in range(r)))
+        for b in range(RH_BANDS))
+    return ",\n       ".join(bit_cols), bands
+
+
+_RH_BITS, _RH_BANDS_SQL = _rh_sql()
+
+_EMB_CORPUS = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+)
+"""
+
+
+@q("dedup_embed_lsh", _EMB_CORPUS + f""",
+sig AS (SELECT vec_id, embedding, {_RH_BITS} FROM corpus),
+bands AS ({_RH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b, {_cos('ea.embedding', 'eb.embedding')} AS cos
+  FROM cand c JOIN corpus ea ON ea.vec_id = c.id_a
+              JOIN corpus eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored WHERE cos >= 0.95
+""")
+def dedup_embed_lsh(spark, sf_dir):
+    """Embedding near-dup via random-hyperplane LSH banding (16 seeded ±1
+    hyperplanes, 4 bands): candidates come from a (band, band_value)
+    equi-self-join — never all-pairs — and exact cosine runs only on the
+    candidates. The 100 TB scale path; ``dedup_embed_cosine`` is the
+    brute-force verification twin."""
+    from cdc.vectors import cosine_near_dup_lsh
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = (emb.filter(F.col("vec_id") % 100 == 0)
+           .withColumn("vec_id", F.col("vec_id") + 100000))
+    return cosine_near_dup_lsh(emb.unionByName(dup), threshold=0.95)
+
+
+# -- IVF with a REAL trained coarse quantizer ---------------------------------
+
+_IVF_ASSIGN = f"""
+cent AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb
+         FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, c.cid, {_cos('e.embedding', 'c.cemb')} AS cos
+  FROM embeddings e CROSS JOIN cent c
+),
+ranked0 AS (
+  SELECT vec_id, cid, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM scored
+),
+assign AS (SELECT vec_id, cid, cos FROM ranked0 WHERE rn = 1)
+"""
+
+
+@q("ann_ivf_assigned", "WITH " + _IVF_ASSIGN + """
+SELECT vec_id, cid AS centroid, round(cos, 6) AS cos6 FROM assign
+""")
+def ann_ivf_assigned(spark, sf_dir):
+    """IVF coarse-quantizer ASSIGNMENT (no pre-existing label column):
+    seeded centroids (lowest 8 vec_ids) + argmax-cosine assignment via a
+    broadcast cross-join and map-side max_by. ``cdc.vectors.ivf_train``
+    also supports Lloyd refinement iterations (pytest-pinned; the oracle
+    pins the deterministic iters=0 quantizer)."""
+    from cdc.vectors import ivf_assign, ivf_train
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = ivf_train(emb, n_centroids=8, iters=0)
+    out = ivf_assign(emb, cent)
+    return out.select("vec_id", "centroid", F.round("cos", 6).alias("cos6"))
+
+
+@q("ann_ivf_search", "WITH " + _IVF_ASSIGN + f""",
+qv AS (
+  SELECT e.vec_id AS qid, e.embedding AS qe, a.cid
+  FROM embeddings e JOIN assign a USING (vec_id) WHERE e.vec_id < 20
+),
+pairs AS (
+  SELECT qv.qid, e.vec_id, {_cos('qe', 'e.embedding')} AS cos
+  FROM qv JOIN assign a2 ON a2.cid = qv.cid
+          JOIN embeddings e ON e.vec_id = a2.vec_id AND e.vec_id <> qv.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM pairs
+)
+SELECT qid, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""")
+def ann_ivf_search(spark, sf_dir):
+    """IVF nprobe=1 SEARCH over the trained quantizer: queries scan only
+    their own coarse cluster (plain equi-join on the assigned centroid —
+    candidate set shrinks by ~n_clusters at scale)."""
+    from cdc.vectors import ivf_search, ivf_train
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = ivf_train(emb, n_centroids=8, iters=0)
+    return ivf_search(emb.filter(F.col("vec_id") < 20), emb, cent, k=3)

@@ -20,7 +20,7 @@ from cdc.io.log import read_log
 from cdc.metrics import batch_lineage_metrics, write_batch_metrics
 from cdc.schema.normalize import normalize_content
 from cdc.schema.registry import SchemaRegistry, default_registry
-from cdc.table.table import CdcTable, part_expr
+from cdc.table.table import CdcTable
 
 
 @dataclass
@@ -86,8 +86,7 @@ def apply_batch(
         else:
             snap = table.commit_merge(spark, final, batch_key)
         if metrics:
-            pcol = part_expr(table.key_cols[0], table.n_partitions)
-            m = batch_lineage_metrics(events.withColumn("part", pcol))
+            m = batch_lineage_metrics(events.withColumn("part", table.part_of()))
             write_batch_metrics(m, table.root, batch_key, wall_ms=int((time.monotonic() - t0) * 1000))
     finally:
         final.unpersist()

@@ -10,6 +10,8 @@ a power-of-two salt in [1, max_salt].
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -21,11 +23,55 @@ def topk_hot_keys(events: DataFrame, keys=("repo",), k: int = 20) -> DataFrame:
             .orderBy(F.desc("n"), *keys).limit(k))
 
 
+def exact_ntile(counts: DataFrame, k: int, value_col: str = "n",
+                tiebreak_cols: Sequence[str] = ("user_id",),
+                descending: bool = True) -> DataFrame:
+    """Exact ``ntile(k) OVER (ORDER BY value DESC, tiebreaks)`` WITHOUT a
+    single-partition global window.
+
+    Distributed plan: (1) the frequency table of the (already reduced)
+    value column is tiny — collect it and compute each value-group's global
+    start rank on the driver; (2) rank ties WITHIN a value group with a
+    window partitioned BY the value (bounded by the frequency of that
+    value, never the whole frame); (3) global_rank = group_start + local
+    rank, bucket via the exact ntile arithmetic (first N%k buckets get one
+    extra row). Output: input columns + ``ntile``.
+
+    At 10^9 keys the old global ntile window is a one-task sort; this plan
+    is two narrow shuffles (freq agg + per-value window) and a broadcast
+    rank-offset lookup."""
+    freq = sorted(
+        ((r[0], r[1]) for r in
+         counts.groupBy(value_col).agg(F.count(F.lit(1)).alias("c")).collect()),
+        key=lambda t: t[0], reverse=descending)
+    n_total = sum(c for _, c in freq)
+    starts, acc = [], 1
+    for v, c in freq:
+        starts.append((v, acc))
+        acc += c
+    spark = counts.sparkSession
+    off = spark.createDataFrame(starts, f"{value_col} {counts.schema[value_col].dataType.simpleString()}, _start long")
+    w = Window.partitionBy(value_col).orderBy(
+        *[F.asc(c) for c in tiebreak_cols])
+    ranked = (counts.join(F.broadcast(off), value_col)
+              .withColumn("_rank", F.col("_start") + F.row_number().over(w) - 1))
+    q, r = divmod(n_total, k)
+    big = r * (q + 1)  # ranks covered by the (q+1)-sized leading buckets
+    if q == 0:
+        bucket = F.col("_rank")  # k >= N: one row per bucket
+    else:
+        bucket = F.when(F.col("_rank") <= big,
+                        F.ceil(F.col("_rank") / (q + 1))
+                        ).otherwise(r + F.ceil((F.col("_rank") - big) / q))
+    return ranked.withColumn("ntile", bucket.cast("int")).drop("_start", "_rank")
+
+
 def key_deciles(events: DataFrame, keys=("repo",)) -> DataFrame:
-    """W4 — decile profile of the key-frequency distribution."""
+    """W4 — decile profile of the key-frequency distribution (exact ntile
+    semantics via the distributed ``exact_ntile``, no global window)."""
     counts = events.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-    d = counts.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy(F.desc("n"), *keys)))
+    d = exact_ntile(counts, 10, value_col="n", tiebreak_cols=keys) \
+        .withColumnRenamed("ntile", "decile")
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_keys"), F.sum("n").alias("n_events"),
         F.max("n").alias("max_key_events"))

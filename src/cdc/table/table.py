@@ -1,11 +1,14 @@
 """The Iceberg-style transactional table: S5 snapshot reads (+P3 manifest
 pruning), S6 transactional MERGE commit, O2 sorted files, T7 batch ledger.
 
-The table's physical layout is hash-partitioned by repo:
-``part = pmod(xxhash64(repo), P)`` — functionally dependent on the key's
-first column, so (a) a batch touches only the partitions its repos hash to,
-(b) merge joins co-partition, and (c) only touched partitions are rewritten
-per commit (bounds write amplification at 10^10-event scale, SURVEY.md §4).
+The table's physical layout is hash-partitioned by a pure function of the
+key: ``repo_hash`` (part = pmod(xxhash64(repo), P) — repo-prunable reads)
+or ``key_hash`` (part = pmod(hash(repo, path), P) == Spark's own
+HashPartitioning id on the key columns, letting commits reuse the upstream
+LWW/merge clustering and skip the write repartition). Either way (a) a
+batch touches only the partitions its keys hash to, (b) merge joins
+co-partition, and (c) only touched partitions are rewritten per commit
+(bounds write amplification at 10^10-event scale, SURVEY.md §4).
 """
 
 from __future__ import annotations
@@ -28,6 +31,18 @@ def part_expr(repo_col: str, n_partitions: int):
     return F.pmod(F.xxhash64(F.col(repo_col)), F.lit(n_partitions)).cast("int")
 
 
+def key_part_expr(key_cols: Sequence[str], n_partitions: int):
+    """Partition function of the ``key_hash`` layout: Murmur3 of the FULL
+    key, mod P — deliberately identical to Spark's own HashPartitioning id
+    (``repartition(n, *key_cols)`` task i holds exactly the rows with
+    ``pmod(hash(keys), n) == i``; verified by
+    tests/test_plans.py::test_key_hash_alignment). Because every LWW /
+    dedup / merge stage already clusters its output by the key columns,
+    this layout lets the committer write WITHOUT its own repartition — one
+    full wide shuffle per commit instead of two."""
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_partitions)).cast("int")
+
+
 def schema_ddl(schema: T.StructType, drop: Sequence[str] = ()) -> str:
     return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields if f.name not in drop)
 
@@ -36,11 +51,31 @@ class CdcTable:
     """Single-writer transactional table over Parquet + JSON snapshots."""
 
     def __init__(self, root: str, key_cols: Sequence[str] = ("repo", "path"),
-                 n_partitions: int = 16, files_per_partition: int = 1):
+                 n_partitions: int = 16, files_per_partition: int = 1,
+                 layout: str = "repo_hash"):
+        """``layout``:
+        - 'repo_hash' — part = pmod(xxhash64(repo), P): partition pruning
+          by repo; the committer repartitions on (part, file_group).
+        - 'key_hash'  — part = pmod(hash(repo, path), P) == Spark's own
+          hash-partition id on the key columns: the committer trusts the
+          incoming clustering (every LWW/merge output is hash-clustered by
+          key) and skips its repartition — one wide shuffle per commit
+          total. The trade: partition pruning by repo alone is lost (the
+          merge's touched-partition pruning, keyed on the full key, is
+          unaffected)."""
         self.root = root
         self.key_cols = tuple(key_cols)
         self.n_partitions = n_partitions
         self.files_per_partition = files_per_partition
+        if layout not in ("repo_hash", "key_hash"):
+            raise ValueError(f"unknown layout {layout!r}")
+        self.layout = layout
+
+    def part_of(self):
+        """This table's partition Column (a pure function of the key)."""
+        if self.layout == "key_hash":
+            return key_part_expr(self.key_cols, self.n_partitions)
+        return part_expr(self.key_cols[0], self.n_partitions)
 
     # -- metadata ------------------------------------------------------------
     def current_snapshot(self) -> dict | None:
@@ -140,7 +175,7 @@ class CdcTable:
             df = df.drop("_layer")
         if not include_deleted and "_deleted" in df.columns:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
-        return df.withColumn(PART_COL, part_expr(self.key_cols[0], self.n_partitions))
+        return df.withColumn(PART_COL, self.part_of())
 
     # -- write path (S6) -------------------------------------------------------
     def _write_data(self, df: DataFrame, snapshot_id: int,
@@ -152,12 +187,24 @@ class CdcTable:
         rows sorted by key within files for read locality (O2)."""
         rel_dir = f"data/snap-{snapshot_id:012d}"
         out_dir = os.path.join(self.root, rel_dir)
-        data = df.withColumn("_fg", F.pmod(F.xxhash64(F.col(self.key_cols[-1])),
-                                           F.lit(self.files_per_partition)).cast("int"))
-        (data.repartition(self.n_partitions * self.files_per_partition, PART_COL, "_fg")
-             .drop("_fg")
-             .sortWithinPartitions(*self.key_cols)
-             .write.mode("overwrite").partitionBy(PART_COL).parquet(out_dir))
+        if self.layout == "key_hash":
+            # the upstream LWW/merge stages already hash-cluster rows by the
+            # key columns, and part = pmod(hash(key), P) is a pure function
+            # of that clustering whenever P divides the shuffle width — so
+            # NO repartition here: each task holds (a few) whole part
+            # values and partitionBy routes rows without moving them. One
+            # wide shuffle per commit total. (An unclustered input frame is
+            # still CORRECT — partitionBy splits per task — just writes
+            # more, smaller files.)
+            (df.sortWithinPartitions(*self.key_cols)
+               .write.mode("overwrite").partitionBy(PART_COL).parquet(out_dir))
+        else:
+            data = df.withColumn("_fg", F.pmod(F.xxhash64(F.col(self.key_cols[-1])),
+                                               F.lit(self.files_per_partition)).cast("int"))
+            (data.repartition(self.n_partitions * self.files_per_partition, PART_COL, "_fg")
+                 .drop("_fg")
+                 .sortWithinPartitions(*self.key_cols)
+                 .write.mode("overwrite").partitionBy(PART_COL).parquet(out_dir))
 
         # per-file row counts + lsn bounds straight from the parquet footers
         # (metadata-only reads, no second Spark job — parquet tracks column
@@ -228,7 +275,7 @@ class CdcTable:
             return parent
 
         rows = M.batch_to_state_rows(batch_final, keys=self.key_cols)
-        rows = rows.withColumn(PART_COL, part_expr(self.key_cols[0], self.n_partitions))
+        rows = rows.withColumn(PART_COL, self.part_of())
         sid = (parent["snapshot_id"] if parent else 0) + 1
         # one job total: the write; lsn bounds come back from the footers
         entries, ddl = self._write_data(rows, sid, kind="delta")
@@ -261,7 +308,7 @@ class CdcTable:
         if parent and batch_key in parent["committed_batches"]:
             return parent
 
-        batch = batch_final.withColumn(PART_COL, part_expr(self.key_cols[0], self.n_partitions))
+        batch = batch_final.withColumn(PART_COL, self.part_of())
         agg = batch.agg(F.max("lsn").alias("h"),
                         F.collect_set(PART_COL).alias("parts")).collect()[0]
         if agg["h"] is None:  # empty batch; -1 = the empty-table lsn sentinel
@@ -272,9 +319,9 @@ class CdcTable:
         state = self.read(spark, parts=touched, include_deleted=True)
         if state is None:
             state = M.empty_state(spark, batch_final, keys=self.key_cols)
-            state = state.withColumn(PART_COL, part_expr(self.key_cols[0], self.n_partitions))
+            state = state.withColumn(PART_COL, self.part_of())
         merged = M.merge_apply(state.drop(PART_COL), batch_final, keys=self.key_cols)
-        merged = merged.withColumn(PART_COL, part_expr(self.key_cols[0], self.n_partitions))
+        merged = merged.withColumn(PART_COL, self.part_of())
 
         sid = (parent["snapshot_id"] if parent else 0) + 1
         # single consumer now (file stats come from parquet footers, not a

@@ -72,11 +72,145 @@ def cosine_topk(queries: DataFrame, candidates: DataFrame, k: int,
 
 def cosine_near_dup_pairs(vecs: DataFrame, threshold: float) -> DataFrame:
     """All (a<b) pairs with cosine >= threshold — brute-force verification
-    path for embedding near-dup detection (LSH/IVF bucket joins are the
-    candidate generators at scale)."""
+    path for embedding near-dup detection (``cosine_near_dup_lsh`` is the
+    candidate generator at scale)."""
     a = vecs.select(F.col("vec_id").alias("id_a"), as_double("embedding").alias("ea"))
     b = vecs.select(F.col("vec_id").alias("id_b"), as_double("embedding").alias("eb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     cos = cosine(F.col("ea"), F.col("eb"))
     return (pairs.withColumn("cos", cos).filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cosine")))
+
+
+# -- random-hyperplane LSH (SimHash-for-cosine) -------------------------------
+#
+# K hyperplanes with deterministic ±1 components derived from md5 — a public
+# seeded construction reproducible bit-for-bit in any engine (the DuckDB
+# oracle embeds the identical sign matrix as literals). Signature bit p =
+# [dot(v, s_p) > 0]; near-identical vectors agree on (almost) every bit, so
+# banding the K bits and equi-joining on (band, band_value) yields candidate
+# pairs WITHOUT the all-pairs theta-join — linear in corpus size + bucket
+# fan-out, the 100 TB scale path. Exact cosine runs only on candidates.
+
+RH_PLANES = 16  # signature bits
+RH_BANDS = 4    # bands of RH_PLANES // RH_BANDS bits each
+
+
+def rh_signs(n_planes: int = RH_PLANES, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components: sign(p,i) from md5 parity."""
+    import hashlib
+
+    return [[1 if int(hashlib.md5(f"rh:{p}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+             else -1 for i in range(dim)]
+            for p in range(n_planes)]
+
+
+def rh_signature_bits(emb, signs: list[list[int]]) -> list["F.Column"]:
+    """One 0/1 Column per hyperplane: sign of the (sequential-fold) dot
+    product against the ±1 plane — all JVM-side codegen'd expressions."""
+    bits = []
+    for plane in signs:
+        sv = F.array(*[F.lit(float(s)) for s in plane])
+        bits.append(F.when(dot(emb, sv) > 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+def cosine_near_dup_lsh(vecs: DataFrame, threshold: float,
+                        n_planes: int = RH_PLANES,
+                        n_bands: int = RH_BANDS,
+                        dim: int = 64) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH banding.
+
+    vecs: (vec_id, embedding array<float>). Returns (id_a, id_b, cosine)
+    for candidate pairs (sharing >= 1 full band of signature bits) whose
+    exact cosine >= threshold. Recall < 1 by LSH design (a pair differing
+    in every band is missed); exact duplicates collide on all bands, so
+    dedup recall on true copies is 1.
+    """
+    r = n_planes // n_bands
+    signs = rh_signs(n_planes, dim)
+    sig = vecs.select("vec_id", as_double("embedding").alias("emb"))
+    bits = rh_signature_bits(F.col("emb"), signs)
+    # band value = the band's r bits packed into an int; one explode, not a
+    # per-band union (a union would recompute the signature per band)
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 sum(bits[b * r + j] * F.lit(1 << j) for j in range(r)).alias("bval"))
+        for b in range(n_bands)])
+    banded = sig.select("vec_id", "emb", F.explode(band_arr).alias("bb")) \
+                .select("vec_id", "emb", F.col("bb.band").alias("band"),
+                        F.col("bb.bval").alias("bval"))
+    a = banded.alias("a")
+    b2 = banded.select("vec_id", "emb", "band", "bval").alias("b")
+    cand = (a.join(b2, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bval") == F.col("b.bval"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    F.col("a.emb").alias("ea"), F.col("b.emb").alias("eb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (cand.withColumn("cos", cos).filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cosine")))
+
+
+# -- IVF: real coarse quantizer ----------------------------------------------
+
+def ivf_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (ties -> lowest
+    centroid id). One broadcast cross-join against the (small) centroid set;
+    the argmax is a map-side max_by — fully codegen'd, no Python.
+
+    vecs: (vec_id, embedding); centroids: (cid, cemb array<double>).
+    Returns (vec_id, embedding, centroid, cos)."""
+    c = F.broadcast(centroids.select("cid", "cemb"))
+    pairs = vecs.select("vec_id", "embedding",
+                        as_double("embedding").alias("emb")).crossJoin(c)
+    cos = cosine(F.col("emb"), F.col("cemb"))
+    scored = pairs.select("vec_id", "embedding", "cid", cos.alias("cos"))
+    # max_by on (cos, -cid): highest cosine, ties to the lowest centroid id
+    pick = F.max_by(F.struct("cid", "cos"), F.struct(F.col("cos"), -F.col("cid")))
+    out = scored.groupBy("vec_id", "embedding").agg(pick.alias("p"))
+    return out.select("vec_id", "embedding",
+                      F.col("p.cid").alias("centroid"), F.col("p.cos").alias("cos"))
+
+
+def seed_centroids(vecs: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic seeding: the n lowest vec_ids are the initial
+    centroids (a public k-means seeding stand-in; k-means|| would sample by
+    distance — the interface is the same)."""
+    return (vecs.orderBy("vec_id").limit(n_centroids)
+            .select(F.col("vec_id").cast("int").alias("cid"),
+                    as_double("embedding").alias("cemb")))
+
+
+def ivf_train(vecs: DataFrame, n_centroids: int, iters: int = 0) -> DataFrame:
+    """Train the IVF coarse quantizer: seeded centroids + ``iters`` Lloyd
+    refinement steps (per-dimension mean of assigned vectors, computed with
+    posexplode -> avg -> re-packed array; centroid ids relabel 0..C-1 by
+    assignment). The refined centroid table is tiny (C rows) and collected
+    per iteration — the driver loop is O(iters), each step one Spark job.
+    Returns (cid, cemb)."""
+    cent = seed_centroids(vecs, n_centroids)
+    for _ in range(iters):
+        assigned = ivf_assign(vecs, cent)
+        dims = assigned.select(
+            "centroid", F.posexplode(as_double("embedding")).alias("pos", "val"))
+        means = (dims.groupBy("centroid", "pos").agg(F.avg("val").alias("m"))
+                 .groupBy("centroid")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                 .select(F.col("centroid").alias("cid"),
+                         F.transform("pm", lambda s: s["m"]).alias("cemb")))
+        cent = means
+    return cent
+
+
+def ivf_search(queries: DataFrame, vecs: DataFrame, centroids: DataFrame,
+               k: int) -> DataFrame:
+    """IVF nprobe=1 search: assign queries and candidates to the trained
+    quantizer, then top-k cosine WITHIN the query's cluster only — the
+    candidate set shrinks by ~n_clusters and the join is a plain equi-join
+    on the centroid id (the 100 TB path)."""
+    av = ivf_assign(vecs, centroids).select("vec_id", "embedding", "centroid")
+    aq = ivf_assign(queries, centroids).select("vec_id", "embedding", "centroid")
+    return cosine_topk(aq, av, k=k, partition_col="centroid")

@@ -223,3 +223,67 @@ def test_shingles_short_docs_yield_zero_rows(spark):
     assert rows[4] == "one two three"
     out = _shingles(df, n=3).groupBy("doc_id").count().collect()
     assert {r["doc_id"]: r["count"] for r in out} == {4: 1, 5: 2}
+
+
+# ---- vector LSH / IVF -------------------------------------------------------
+
+def _toy_vecs(spark, n=40, dim=8, dupes=(0, 3)):
+    import math
+    rows = []
+    for i in range(n):
+        v = [math.sin(0.7 * i + 1.3 * d) for d in range(dim)]
+        rows.append((i, v))
+    for j, i in enumerate(dupes):           # exact copies of existing vectors
+        rows.append((1000 + j, rows[i][1]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embed_lsh_is_subset_of_bruteforce_and_catches_exact_dupes(spark):
+    """LSH near-dup candidates, after the exact-cosine filter, must be a
+    SUBSET of the brute-force pairs (same threshold) and must contain every
+    exact-duplicate pair (identical vectors collide on all bands)."""
+    from cdc.vectors import cosine_near_dup_lsh, cosine_near_dup_pairs
+    vecs = _toy_vecs(spark)
+    exact = {(r.id_a, r.id_b) for r in
+             cosine_near_dup_pairs(vecs, 0.95).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           cosine_near_dup_lsh(vecs, 0.95, dim=8).collect()}
+    assert lsh <= exact
+    assert (0, 1000) in lsh and (3, 1001) in lsh
+
+
+def test_ivf_train_and_assign(spark):
+    from cdc.vectors import ivf_assign, ivf_train, seed_centroids
+    vecs = _toy_vecs(spark, n=60, dim=8, dupes=())
+    cent0 = ivf_train(vecs, n_centroids=4, iters=0)
+    assert {r.cid for r in cent0.collect()} == {0, 1, 2, 3}
+    a0 = ivf_assign(vecs, cent0)
+    assert a0.count() == 60
+    assert a0.select("vec_id").distinct().count() == 60  # exactly one cluster each
+    # a vector that IS a centroid assigns to itself with cos ~ 1
+    self_row = a0.filter(F.col("vec_id") == 2).collect()[0]
+    assert self_row["centroid"] == 2 and abs(self_row["cos"] - 1.0) < 1e-9
+
+    # one Lloyd iteration refines centroids away from the raw seeds but
+    # keeps a full deterministic assignment
+    cent1 = ivf_train(vecs, n_centroids=4, iters=1)
+    a1 = ivf_assign(vecs, cent1)
+    assert a1.count() == 60
+    s0 = seed_centroids(vecs, 4).collect()
+    c1 = {r.cid: r.cemb for r in cent1.collect()}
+    assert any(list(r.cemb) != list(c1[r.cid]) for r in s0 if r.cid in c1)
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """The distributed exact_ntile must equal ntile() over the global
+    window for every k, including ties and k > N."""
+    from pyspark.sql import Window as W
+    from cdc.skew import exact_ntile
+    rows = [(i, [5, 3, 3, 3, 2, 2, 1, 1, 1, 1][i % 10] + i // 10) for i in range(23)]
+    counts = spark.createDataFrame(rows, "user_id long, n long")
+    for k in (1, 4, 10, 23, 40):
+        got = {r.user_id: r.ntile for r in
+               exact_ntile(counts, k, tiebreak_cols=("user_id",)).collect()}
+        exp = {r.user_id: r.nt for r in counts.withColumn(
+            "nt", F.ntile(k).over(W.orderBy(F.desc("n"), F.asc("user_id")))).collect()}
+        assert got == exp, f"k={k}"

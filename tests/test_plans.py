@@ -125,3 +125,64 @@ def test_partition_pruned_table_read(spark, log_dir, tmp_path):
     assert files and set(files) <= {"0", "1"}, sorted(set(files))
     assert len(pruned.inputFiles()) < len(full.inputFiles())
     assert pruned.count() < full.count()
+
+
+def test_metrics_single_pass(spark, log_dir):
+    """The lineage-metrics plan must read the full narrow columns ONCE:
+    one wide-narrow scan branch (3 FileScans, one per log version dir)
+    feeding a single (part,batch,lsn) exchange, plus a 2-column scan for
+    the per-part max — never two full passes or a whole-batch window."""
+    df = read_log(spark, log_dir, default_registry())
+    m = batch_lineage_metrics(df.withColumn("part", F.pmod(F.xxhash64("repo"), F.lit(4))))
+    p = plan_of(m)
+    phys = p.split("== Physical Plan ==")[-1]
+    op_scans = [ln for ln in phys.splitlines()
+                if "FileScan" in ln and "op:string" in ln]
+    assert len(op_scans) == 3, phys[-3000:]
+    assert phys.count("batch_id") and "Window" not in phys
+
+
+def test_key_hash_alignment(spark):
+    """key_hash layout invariant: part == pmod(hash(keys), P) == the task id
+    Spark's repartition(P, keys) assigns — so a key_hash commit can route
+    rows with partitionBy alone, no second shuffle."""
+    from cdc.table.table import key_part_expr
+    df = spark.range(2000).select(
+        F.concat(F.lit("r"), (F.col("id") % 17).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"))
+    rep = df.repartition(8, "repo", "path")
+    bad = (rep.select(F.spark_partition_id().alias("pid"),
+                      key_part_expr(("repo", "path"), 8).alias("part"))
+           .filter(F.col("pid") != F.col("part")).count())
+    assert bad == 0
+    # divisibility form: clustering at 2P still maps one part per task
+    rep2 = df.repartition(16, "repo", "path")
+    multi = (rep2.select(F.spark_partition_id().alias("pid"),
+                         key_part_expr(("repo", "path"), 8).alias("part"))
+             .groupBy("pid").agg(F.countDistinct("part").alias("np"))
+             .filter(F.col("np") > 1).count())
+    assert multi == 0
+
+
+def test_key_hash_commit_writes_without_repartition_exchange(spark, tmp_path, log_dir):
+    """End-to-end: a key_hash replay equals a repo_hash replay row-for-row,
+    and its committed files stay one-part-per-file."""
+    import os
+    from cdc.pipeline import replay
+    from cdc.table.table import CdcTable
+    a = CdcTable(str(tmp_path / "a"), n_partitions=4)
+    b = CdcTable(str(tmp_path / "b"), n_partitions=4, layout="key_hash")
+    replay(spark, log_dir, a, metrics=False)
+    replay(spark, log_dir, b, metrics=False)
+    sa = {(r.repo, r.path, r._lsn, r._content_sha256) for r in
+          a.read(spark).select("repo", "path", "_lsn", "_content_sha256").collect()}
+    sb = {(r.repo, r.path, r._lsn, r._content_sha256) for r in
+          b.read(spark).select("repo", "path", "_lsn", "_content_sha256").collect()}
+    assert sa == sb and sa
+    # every committed file sits in the part dir its rows hash to
+    from cdc.table.table import key_part_expr
+    for f in b.current_snapshot()["files"]:
+        got = (spark.read.parquet(os.path.join(b.root, f["path"]))
+               .select(key_part_expr(("repo", "path"), 4).alias("p"))
+               .distinct().collect())
+        assert [r.p for r in got] == [int(f["part"])]
