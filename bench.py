@@ -64,7 +64,8 @@ def main() -> None:
         reps = []
         table = None
         for i in range(4):
-            table = CdcTable(os.path.join(work, f"t{i}"), n_partitions=max(cpus, 8))
+            table = CdcTable(os.path.join(work, f"t{i}"), n_partitions=max(cpus, 8),
+                             layout="key_hash")
             t0 = time.monotonic()
             replay(spark, log_dir, table, batches_per_commit=None, metrics=True)
             reps.append(time.monotonic() - t0)
@@ -99,8 +100,10 @@ def main() -> None:
     bench_queries = [
         "w1_lww_salted", "a4_lww_maxby", "j1_merge_full_outer",
         "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_region_volume",
-        "w3_running_sum", "dedup_minhash_lsh", "dedup_simhash",
-        "ann_cosine_topk", "txt_quality", "v1_normalize_sha", "mm_decode_meta",
+        "w3_running_sum", "w4_ntile_deciles", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_simhash_pairs", "dedup_embed_lsh",
+        "ann_cosine_topk", "ann_ivf_search", "t4_session_window",
+        "txt_quality", "v1_normalize_sha", "mm_decode_meta",
     ]
     for name in bench_queries:
         timed(name, lambda n=name: queries[n](spark, sf_dir).write

@@ -17,11 +17,15 @@ A crash anywhere before (3) leaves the table at the parent snapshot with
 only invisible orphan files. Single-writer by design (optimistic
 multi-writer CAS is an Iceberg-catalog concern, out of scope per SURVEY).
 
-Scale note: each snapshot embeds the *full* file manifest and a bounded
-recent-batch ledger. At 10^10-event scale the manifest would move to
-Iceberg's two-level (manifest-list -> manifest) form; the pruning
-interfaces here (per-file part + lsn_min/lsn_max stats) are exactly what
-that form needs, so the swap is mechanical.
+Scale note — TWO-LEVEL manifests (Iceberg's manifest-list -> manifest
+form): the snapshot JSON stores a manifest LIST (one entry per partition
+group), and the per-file entries live in immutable ``manifest-*.json``
+side files. A commit rewrites only the manifest groups whose partitions
+it touched and references the parent's other manifest files unchanged, so
+snapshot-write cost is O(touched partitions), not O(table files) — the
+10^10-scale metadata story. Readers resolve the list transparently
+(``read_snapshot_file``); pre-two-level snapshots with inline ``files``
+still load. The bounded recent-batch ledger rides in the snapshot itself.
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ from typing import Any
 
 CURRENT = "_current"
 LEDGER_KEEP = 10_000  # recent batch keys kept for duplicate-epoch detection
+MANIFEST_GROUPS = 8   # partition-group fan-out of the manifest list
 
 
 def meta_dir(root: str) -> str:
@@ -54,7 +59,18 @@ def read_current(root: str) -> dict[str, Any] | None:
 
 def read_snapshot_file(path: str) -> dict[str, Any]:
     with open(path) as f:
-        return json.load(f)
+        snap = json.load(f)
+    if "manifests" in snap and "files" not in snap:
+        meta = os.path.dirname(path)
+        added = set(snap.get("added_paths", ()))
+        files: list[dict[str, Any]] = []
+        for m in snap["manifests"]:
+            with open(os.path.join(meta, m["path"])) as mf:
+                for e in json.load(mf):
+                    e["origin"] = "added" if e["path"] in added else "existing"
+                    files.append(e)
+        snap["files"] = files
+    return snap
 
 
 def read_snapshot(root: str, snapshot_id: int) -> dict[str, Any]:
@@ -72,16 +88,67 @@ def list_snapshots(root: str) -> list[dict[str, Any]]:
     return out
 
 
-def write_snapshot(root: str, snap: dict[str, Any]) -> None:
-    """Steps (2)+(3): durable snapshot JSON, then atomic pointer swap."""
-    os.makedirs(meta_dir(root), exist_ok=True)
-    path = snap_path(root, snap["snapshot_id"])
+def _fsync_json(path: str, obj: Any) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(snap, f, indent=1, sort_keys=True)
+        json.dump(obj, f, indent=1, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+
+
+def _strip_origin(entries: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """origin (added/existing) is SNAPSHOT-relative, so it lives in the
+    snapshot's ``added_paths``, not in the shared immutable manifests —
+    otherwise an add would dirty a group's manifest a second time when the
+    file merely flips to 'existing'."""
+    return sorted(({k: v for k, v in e.items() if k != "origin"} for e in entries),
+                  key=lambda e: e["path"])
+
+
+def write_snapshot(root: str, snap: dict[str, Any]) -> None:
+    """Steps (2)+(3): durable metadata, then atomic pointer swap.
+
+    Inline ``files`` are split into MANIFEST_GROUPS immutable manifest
+    side-files grouped by ``part % MANIFEST_GROUPS``; groups byte-identical
+    to the parent's are referenced, NOT rewritten (commit metadata cost =
+    O(touched partitions)). Manifests are fsynced before the snapshot JSON,
+    which is fsynced before the pointer swap — a crash anywhere leaves only
+    invisible orphan files."""
+    os.makedirs(meta_dir(root), exist_ok=True)
+    snap = dict(snap)
+    files = snap.pop("files", None)
+    if files is not None and "manifests" not in snap:
+        sid = snap["snapshot_id"]
+        snap["added_paths"] = sorted(
+            e["path"] for e in files if e.get("origin") == "added")
+        groups: dict[int, list[dict[str, Any]]] = {}
+        for e in files:
+            groups.setdefault(int(e["part"]) % MANIFEST_GROUPS, []).append(e)
+        parent_manifests: dict[int, dict[str, Any]] = {}
+        if snap.get("parent_id"):
+            ppath = snap_path(root, snap["parent_id"])
+            if os.path.exists(ppath):
+                with open(ppath) as f:
+                    praw = json.load(f)
+                for m in praw.get("manifests", ()):
+                    with open(os.path.join(meta_dir(root), m["path"])) as mf:
+                        parent_manifests[int(m["group"])] = {
+                            "path": m["path"], "entries": json.load(mf)}
+        manifests = []
+        for g in sorted(groups):
+            entries = _strip_origin(groups[g])
+            parent_m = parent_manifests.get(g)
+            if parent_m is not None and parent_m["entries"] == entries:
+                manifests.append({"path": parent_m["path"], "group": g})
+                continue
+            name = f"manifest-{sid:012d}-g{g}.json"
+            _fsync_json(os.path.join(meta_dir(root), name), entries)
+            manifests.append({"path": name, "group": g})
+        snap["manifests"] = manifests
+
+    path = snap_path(root, snap["snapshot_id"])
+    _fsync_json(path, snap)
 
     ptr = os.path.join(meta_dir(root), CURRENT)
     ptr_tmp = ptr + ".tmp"

@@ -77,20 +77,30 @@ def expire_snapshots(table: CdcTable, keep_last: int = 3) -> list[int]:
 
 
 def vacuum_orphans(table: CdcTable) -> list[str]:
-    """Remove data/snap-* directories referenced by NO remaining snapshot
-    (crashed commits, expired history). Safe because commits never reuse a
-    staging dir of a *different* snapshot id."""
+    """Remove data/snap-* directories AND meta/manifest-* files referenced
+    by NO remaining snapshot (crashed commits, expired history). Safe
+    because commits never reuse a staging dir of a *different* snapshot id
+    and manifest side-files are immutable (shared by reference across
+    snapshots — only ones referenced by zero live snapshots go)."""
     live_dirs: set[str] = set()
+    live_manifests: set[str] = set()
     for snap in table.snapshots():
         for f in snap["files"]:
             # files live under data/snap-XXXX/part=N/...
             live_dirs.add(f["path"].split("/", 2)[1])
-    data_root = os.path.join(table.root, "data")
+        for m in snap.get("manifests", ()):
+            live_manifests.add(m["path"])
     removed = []
-    if not os.path.isdir(data_root):
-        return removed
-    for name in sorted(os.listdir(data_root)):
-        if name.startswith("snap-") and name not in live_dirs:
-            shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
-            removed.append(name)
+    data_root = os.path.join(table.root, "data")
+    if os.path.isdir(data_root):
+        for name in sorted(os.listdir(data_root)):
+            if name.startswith("snap-") and name not in live_dirs:
+                shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+                removed.append(name)
+    meta_root = store.meta_dir(table.root)
+    if os.path.isdir(meta_root):
+        for name in sorted(os.listdir(meta_root)):
+            if name.startswith("manifest-") and name not in live_manifests:
+                os.remove(os.path.join(meta_root, name))
+                removed.append(name)
     return removed

@@ -197,3 +197,71 @@ def test_grouped_resume_applies_reordered_lower_lsn_batches(spark, tmp_path):
     replay(spark, str(tmp_path / "log"), table, batches_per_commit=1, metrics=False)
     state = {r["path"]: r["_lsn"] for r in table.read(spark).collect()}
     assert state == {"a.py": 10, "b.py": 20, "c.py": 15}
+
+
+def test_two_level_manifest_written_and_reused(spark, tmp_path):
+    """Snapshots store a manifest LIST (side-files grouped by partition);
+    a commit touching a subset of partitions rewrites only those groups'
+    manifests and references the parent's others unchanged."""
+    import json
+    import os
+    from cdc.meta import store
+    from cdc.pipeline import apply_batch
+    from cdc.table.table import CdcTable
+
+    import datetime
+    t0 = datetime.datetime(2026, 1, 1)
+    ddl = ("repo string, path string, content string, lsn long, "
+           "ts timestamp, op string, batch_id long")
+    # 64 keys spread over 16 partitions
+    rows = [(f"r{i%8}", f"p{i}.py", f"c{i}", i + 1, t0, "I", 0) for i in range(64)]
+    table = CdcTable(str(tmp_path / "t"), n_partitions=16)
+    apply_batch(spark, table, spark.createDataFrame(rows, ddl), "b1",
+                normalize=False, metrics=False)
+
+    raw1 = json.load(open(store.snap_path(table.root, 1)))
+    assert "files" not in raw1 and raw1["manifests"], raw1.keys()
+    snap1 = table.current_snapshot()           # resolved view
+    assert snap1["files"] and all(f["origin"] == "added" for f in snap1["files"])
+
+    # second commit touches ONE key -> one partition -> at most one group
+    apply_batch(spark, table,
+                spark.createDataFrame([("r0", "p0.py", "v2", 100, t0, "U", 1)], ddl),
+                "b2", normalize=False, metrics=False)
+    raw2 = json.load(open(store.snap_path(table.root, 2)))
+    m1 = {m["group"]: m["path"] for m in raw1["manifests"]}
+    m2 = {m["group"]: m["path"] for m in raw2["manifests"]}
+    reused = [g for g in m2 if m1.get(g) == m2[g]]
+    rewritten = [g for g in m2 if m1.get(g) != m2[g]]
+    assert reused, (m1, m2)            # untouched groups referenced as-is
+    assert len(rewritten) <= 2         # only the touched group(s) rewritten
+    # resolved state is complete and correct
+    state = {r["path"]: r["_lsn"] for r in table.read(spark).collect()}
+    assert len(state) == 64 and state["p0.py"] == 100
+
+
+def test_vacuum_removes_orphan_manifests(spark, tmp_path):
+    import os
+    from cdc.meta import store
+    from cdc.pipeline import apply_batch
+    from cdc.table.maintenance import expire_snapshots, vacuum_orphans
+    from cdc.table.table import CdcTable
+
+    import datetime
+    t0 = datetime.datetime(2026, 1, 1)
+    ddl = ("repo string, path string, content string, lsn long, "
+           "ts timestamp, op string, batch_id long")
+    table = CdcTable(str(tmp_path / "t"), n_partitions=4)
+    for i in range(5):
+        apply_batch(spark, table,
+                    spark.createDataFrame([("r0", f"p{i}.py", "x", i + 1, t0, "I", i)], ddl),
+                    f"b{i}", normalize=False, metrics=False)
+    expire_snapshots(table, keep_last=2)
+    removed = vacuum_orphans(table)
+    live = {m["path"] for s in table.snapshots() for m in s.get("manifests", ())}
+    on_disk = {n for n in os.listdir(store.meta_dir(table.root))
+               if n.startswith("manifest-")}
+    assert on_disk == live
+    assert any(n.startswith("manifest-") for n in removed)
+    # the surviving snapshots still resolve fully
+    assert table.read(spark).count() == 5
