@@ -97,3 +97,56 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
 
     return df.select(id_col, payload_col).mapInPandas(
         sample, "doc_id bigint, frame_no int, offset int, frame_len int")
+
+
+def resize_payload(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "doc_id", target: int = 256) -> DataFrame:
+    """Resize stub: downsample the binary payload by a deterministic byte
+    stride so the 'image' fits ``target`` width (the real seam would call a
+    codec's resample; the Spark-side shape — binary in, binary + new
+    metadata out through one Arrow-batched pass — is identical). Stride =
+    ceil(width / target); resized payload = every stride-th byte."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[payload_col].map(len).astype("int64")
+            width = (64 + n % 512).astype("int64")       # fake-decoder width
+            height = (64 + (n * 7) % 512).astype("int64")
+            stride = ((width + target - 1) // target).clip(lower=1)
+            resized = [bytes(b[::s]) for b, s in zip(pdf[payload_col], stride)]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "orig_bytes": n,
+                "stride": stride.astype("int32"),
+                "resized": resized,
+                "resized_bytes": pd.Series([len(r) for r in resized], dtype="int64"),
+                "out_w": (width // stride).astype("int32"),
+                "out_h": (height // stride).astype("int32"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize, "doc_id bigint, orig_bytes bigint, stride int, resized binary, "
+                "resized_bytes bigint, out_w int, out_h int")
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "doc_id", dim: int = 8) -> DataFrame:
+    """Feature-extraction stub: binary payload -> ``array<float>`` embedding
+    through an Arrow-batched pandas pass (the real seam would run a vision
+    encoder per batch; batch shape, schema and partitioning are what the
+    engine owns). Deterministic features: a keyed arithmetic hash of the
+    byte length, so the DuckDB oracle can recompute them exactly."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[payload_col].map(len).astype("int64")
+            emb = [[float(((int(nb) * (k + 1) * 31) % 997) / 997.0)
+                    for k in range(dim)] for nb in n]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_bytes": n,
+                "embedding": emb,
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feats, "doc_id bigint, n_bytes bigint, embedding array<double>")

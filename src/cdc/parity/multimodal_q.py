@@ -54,3 +54,39 @@ def mm_sample_frames(spark, sf_dir):
     frame-extraction shape)."""
     d = load(spark, sf_dir, "documents")
     return sample_frames(with_binary_payload(d), every_n_bytes=256)
+
+
+@q("mm_resize_meta", """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+m AS (
+  SELECT doc_id, n, 64 + n % 512 AS w, 64 + (n * 7) % 512 AS h,
+         greatest(1, CAST(ceil((64 + n % 512) / 256.0) AS BIGINT)) AS stride
+  FROM b
+)
+SELECT doc_id, CAST(n AS BIGINT) AS orig_bytes, CAST(stride AS INT) AS stride,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE (n + stride - 1) // stride END AS BIGINT) AS resized_bytes,
+       CAST(w // stride AS INT) AS out_w, CAST(h // stride AS INT) AS out_h
+FROM m
+""")
+def mm_resize_meta(spark, sf_dir):
+    """Resize stub through mapInPandas: byte-stride downsample + new
+    metadata (the binary output column is dropped for the oracle compare —
+    its LENGTH is the verified invariant: ceil(n / stride) bytes)."""
+    from cdc.mm import resize_payload
+    d = load(spark, sf_dir, "documents")
+    return resize_payload(with_binary_payload(d)).drop("resized")
+
+
+@q("mm_feature_extract", """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       list_transform(generate_series(1, 8),
+                      k -> CAST((n * k * 31) % 997 AS DOUBLE) / 997.0) AS embedding
+FROM b
+""")
+def mm_feature_extract(spark, sf_dir):
+    """Feature extraction: binary payload -> array<double> embedding via an
+    Arrow-batched pandas pass (vision-encoder seam, deterministic fake)."""
+    from cdc.mm import extract_features
+    d = load(spark, sf_dir, "documents")
+    return extract_features(with_binary_payload(d))

@@ -287,3 +287,20 @@ def test_exact_ntile_matches_window_ntile(spark):
         exp = {r.user_id: r.nt for r in counts.withColumn(
             "nt", F.ntile(k).over(W.orderBy(F.desc("n"), F.asc("user_id")))).collect()}
         assert got == exp, f"k={k}"
+
+
+def test_mm_resize_and_features(spark):
+    from cdc.mm import extract_features, resize_payload, with_binary_payload
+    d = spark.createDataFrame(
+        [(1, "x" * 300), (2, "y" * 10), (3, "")], "doc_id long, text string")
+    r = {row["doc_id"]: row for row in
+         resize_payload(with_binary_payload(d)).collect()}
+    # n=300 -> width 364 -> stride 2 -> 150 bytes, out_w 182
+    assert r[1]["stride"] == 2 and r[1]["resized_bytes"] == 150
+    assert r[1]["out_w"] == 182 and len(r[1]["resized"]) == 150
+    assert r[2]["stride"] == 1 and r[2]["resized_bytes"] == 10
+    assert r[3]["resized_bytes"] == 0
+    f = {row["doc_id"]: row for row in
+         extract_features(with_binary_payload(d)).collect()}
+    assert len(f[1]["embedding"]) == 8
+    assert f[1]["embedding"][0] == ((300 * 1 * 31) % 997) / 997.0
