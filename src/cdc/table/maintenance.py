@@ -45,6 +45,13 @@ def compact(spark: SparkSession, table: CdcTable,
         table.files_per_partition = files_per_partition
     try:
         sid = parent["snapshot_id"] + 1
+        if table.layout == "key_hash":
+            # the key_hash write trusts the incoming clustering; a raw
+            # snapshot read has none, so compaction supplies it here —
+            # one shuffle, right-sized files.
+            df = df.repartition(
+                table.n_partitions * table.files_per_partition,
+                *table.key_cols)
         entries, ddl = table._write_data(df.persist(), sid)
     finally:
         df.unpersist()

@@ -143,3 +143,28 @@ def test_mor_equal_lsn_ties_resolve_in_commit_order(spark, tmp_path):
     t2.commit_delta(spark, batch("U", "v2"), "b1")
     t2.commit_delta(spark, batch("D", None), "b2")
     assert t2.read(spark).count() == 0
+
+
+def test_key_hash_stream_and_compact(spark, log_env, tmp_path):
+    """key_hash layout end-to-end under MOR commits + compaction: state
+    equals the CoW repo_hash replay, and compacted files stay
+    one-part-per-file."""
+    import os
+    from cdc.table.table import key_part_expr
+    ref = CdcTable(str(tmp_path / "ref"), n_partitions=4)
+    replay(spark, log_env["log_dir"], ref, metrics=False)
+
+    t = CdcTable(str(tmp_path / "kh"), n_partitions=4, layout="key_hash")
+    replay(spark, log_env["log_dir"], t, batches_per_commit=2, metrics=False,
+           mode="mor")
+    assert live_set(spark, t) == live_set(spark, ref)
+
+    compact(spark, t, files_per_partition=1)
+    assert live_set(spark, t) == live_set(spark, ref)
+    files = t.current_snapshot()["files"]
+    assert len(files) == 4  # one file per partition after compaction
+    for f in files:
+        got = (spark.read.parquet(os.path.join(t.root, f["path"]))
+               .select(key_part_expr(("repo", "path"), 4).alias("p"))
+               .distinct().collect())
+        assert [r.p for r in got] == [int(f["part"])]
