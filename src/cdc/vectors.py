@@ -92,8 +92,10 @@ def cosine_near_dup_pairs(vecs: DataFrame, threshold: float) -> DataFrame:
 # pairs WITHOUT the all-pairs theta-join — linear in corpus size + bucket
 # fan-out, the 100 TB scale path. Exact cosine runs only on candidates.
 
-RH_PLANES = 16  # signature bits
-RH_BANDS = 4    # bands of RH_PLANES // RH_BANDS bits each
+RH_PLANES = 32  # signature bits
+RH_BANDS = 4    # bands of RH_PLANES // RH_BANDS bits each (8-bit band
+                # values -> 256 buckets/band: bucket-join fan-out stays
+                # sub-quadratic; exact duplicates still collide on ALL bands)
 
 
 def rh_signs(n_planes: int = RH_PLANES, dim: int = 64) -> list[list[int]]:
@@ -105,14 +107,15 @@ def rh_signs(n_planes: int = RH_PLANES, dim: int = 64) -> list[list[int]]:
             for p in range(n_planes)]
 
 
-def rh_signature_bits(emb, signs: list[list[int]]) -> list["F.Column"]:
-    """One 0/1 Column per hyperplane: sign of the (sequential-fold) dot
-    product against the ±1 plane — all JVM-side codegen'd expressions."""
-    bits = []
-    for plane in signs:
-        sv = F.array(*[F.lit(float(s)) for s in plane])
-        bits.append(F.when(dot(emb, sv) > 0, F.lit(1)).otherwise(F.lit(0)))
-    return bits
+def rh_signature_bits(emb, signs: list[list[int]]) -> "F.Column":
+    """The 0/1 signature as ONE array<int> Column: a single sign-matrix
+    literal + one ``transform`` over the planes (sign of each sequential-
+    fold dot product). One expression tree instead of K independent fold
+    expressions — K-times smaller codegen, same bit-exact semantics."""
+    matrix = F.array(*[F.array(*[F.lit(float(s)) for s in plane])
+                       for plane in signs])
+    return F.transform(
+        matrix, lambda plane: F.when(dot(emb, plane) > 0, F.lit(1)).otherwise(F.lit(0)))
 
 
 def cosine_near_dup_lsh(vecs: DataFrame, threshold: float,
@@ -129,28 +132,41 @@ def cosine_near_dup_lsh(vecs: DataFrame, threshold: float,
     """
     r = n_planes // n_bands
     signs = rh_signs(n_planes, dim)
-    sig = vecs.select("vec_id", as_double("embedding").alias("emb"))
-    bits = rh_signature_bits(F.col("emb"), signs)
-    # band value = the band's r bits packed into an int; one explode, not a
-    # per-band union (a union would recompute the signature per band)
+    sig = (vecs.select("vec_id", as_double("embedding").alias("emb"))
+           .withColumn("_bits", rh_signature_bits(F.col("emb"), signs)))
+    # band value = the band's r bits packed into an int (slice + positional
+    # fold of the one signature array); one explode, not a per-band union
+    # (a union would recompute the signature per band)
+    powers = F.array(*[F.lit(1 << j) for j in range(r)])
     band_arr = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 sum(bits[b * r + j] * F.lit(1 << j) for j in range(r)).alias("bval"))
+        F.struct(
+            F.lit(b).alias("band"),
+            F.aggregate(F.zip_with(F.slice("_bits", b * r + 1, r), powers,
+                                   lambda x, p: x * p),
+                        F.lit(0), lambda acc, x: acc + x).alias("bval"))
         for b in range(n_bands)])
-    banded = sig.select("vec_id", "emb", F.explode(band_arr).alias("bb")) \
-                .select("vec_id", "emb", F.col("bb.band").alias("band"),
-                        F.col("bb.bval").alias("bval"))
+    # NARROW banding: the band join and the pair-dedup move only
+    # (vec_id, band, bval) — the wide embedding arrays never ride through
+    # those shuffles; they join back onto the (small) candidate set for
+    # the exact-cosine confirmation only.
+    banded = (sig.select("vec_id", F.explode(band_arr).alias("bb"))
+              .select("vec_id", F.col("bb.band").alias("band"),
+                      F.col("bb.bval").alias("bval")))
     a = banded.alias("a")
-    b2 = banded.select("vec_id", "emb", "band", "bval").alias("b")
+    b2 = banded.alias("b")
     cand = (a.join(b2, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bval") == F.col("b.bval"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("id_a"),
-                    F.col("b.vec_id").alias("id_b"),
-                    F.col("a.emb").alias("ea"), F.col("b.emb").alias("eb"))
-            .dropDuplicates(["id_a", "id_b"]))
+                    F.col("b.vec_id").alias("id_b"))
+            .distinct())
+    e = sig.select("vec_id", "emb")
+    pairs = (cand.join(e.select(F.col("vec_id").alias("id_a"),
+                                F.col("emb").alias("ea")), "id_a")
+             .join(e.select(F.col("vec_id").alias("id_b"),
+                            F.col("emb").alias("eb")), "id_b"))
     cos = cosine(F.col("ea"), F.col("eb"))
-    return (cand.withColumn("cos", cos).filter(F.col("cos") >= threshold)
+    return (pairs.withColumn("cos", cos).filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cosine")))
 
 
