@@ -106,8 +106,33 @@ def _strip_origin(entries: list[dict[str, Any]]) -> list[dict[str, Any]]:
                   key=lambda e: e["path"])
 
 
-def write_snapshot(root: str, snap: dict[str, Any]) -> None:
+class CommitConflictError(RuntimeError):
+    """Another writer advanced the table since this commit's parent was
+    read — the optimistic-concurrency (CAS) failure. Callers re-read the
+    current snapshot and retry on fresh state (Iceberg-catalog semantics;
+    here in single-box POSIX form: an O_EXCL lock file brackets the
+    check-and-swap)."""
+
+
+def current_snapshot_id(root: str) -> int:
+    ptr = os.path.join(meta_dir(root), CURRENT)
+    if not os.path.exists(ptr):
+        return 0
+    with open(ptr) as f:
+        name = f.read().strip()          # snap-XXXXXXXXXXXX.json
+    return int(name.removeprefix("snap-").removesuffix(".json"))
+
+
+def write_snapshot(root: str, snap: dict[str, Any],
+                   expected_parent: int | None = None) -> None:
     """Steps (2)+(3): durable metadata, then atomic pointer swap.
+
+    ``expected_parent`` enables compare-and-swap commits: the pointer is
+    advanced only if the table is still at that snapshot id, else
+    ``CommitConflictError`` — so a concurrent writer is DETECTED rather
+    than silently clobbered. The check-and-swap runs under an O_EXCL lock
+    file (the local stand-in for a catalog's atomic CAS; on a real
+    deployment this seam maps to the catalog request).
 
     Inline ``files`` are split into MANIFEST_GROUPS immutable manifest
     side-files grouped by ``part % MANIFEST_GROUPS``; groups byte-identical
@@ -117,6 +142,46 @@ def write_snapshot(root: str, snap: dict[str, Any]) -> None:
     invisible orphan files."""
     os.makedirs(meta_dir(root), exist_ok=True)
     snap = dict(snap)
+    # The lock brackets the WHOLE metadata write, not just the pointer
+    # swap: snapshot ids are assigned optimistically, so two racing writers
+    # would target the SAME snapshot/manifest file names — the CAS check
+    # must run before any id-derived path is touched.
+    fd = _acquire_commit_lock(root)
+    try:
+        if expected_parent is not None:
+            cur = current_snapshot_id(root)
+            if cur != expected_parent:
+                raise CommitConflictError(
+                    f"table advanced to snapshot {cur} (expected parent "
+                    f"{expected_parent}) — re-read state and retry")
+        _write_snapshot_locked(root, snap)
+    finally:
+        lock = os.path.join(meta_dir(root), "_commit.lock")
+        os.close(fd)
+        os.unlink(lock)
+
+
+def _acquire_commit_lock(root: str) -> int:
+    import time
+    lock = os.path.join(meta_dir(root), "_commit.lock")
+    deadline = time.monotonic() + 30.0
+    while True:
+        try:
+            return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:  # break locks abandoned by a crashed writer (>60 s old)
+                if time.time() - os.path.getmtime(lock) > 60.0:
+                    os.unlink(lock)
+                    continue
+            except OSError:
+                pass
+            if time.monotonic() > deadline:
+                raise CommitConflictError(
+                    f"commit lock held for >30s: {lock}") from None
+            time.sleep(0.05)
+
+
+def _write_snapshot_locked(root: str, snap: dict[str, Any]) -> None:
     files = snap.pop("files", None)
     if files is not None and "manifests" not in snap:
         sid = snap["snapshot_id"]

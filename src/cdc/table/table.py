@@ -295,7 +295,8 @@ class CdcTable:
             operation="delta",
             committed_ts=datetime.now(timezone.utc).isoformat(),
         )
-        store.write_snapshot(self.root, snap)
+        store.write_snapshot(self.root, snap,
+                             expected_parent=parent["snapshot_id"] if parent else 0)
         return snap
 
     def commit_merge(self, spark: SparkSession, batch_final: DataFrame, batch_key: str) -> dict:
@@ -342,5 +343,6 @@ class CdcTable:
             operation="merge",
             committed_ts=datetime.now(timezone.utc).isoformat(),
         )
-        store.write_snapshot(self.root, snap)
+        store.write_snapshot(self.root, snap,
+                             expected_parent=parent["snapshot_id"] if parent else 0)
         return snap

@@ -98,7 +98,7 @@ def test_crash_before_pointer_swap_leaves_table_intact(spark, log_dir, tmp_path,
     before = t.current_snapshot()
     count_before = t.read(spark).count()
 
-    def boom(root, snap):
+    def boom(root, snap, **kw):
         raise RuntimeError("injected crash before commit point")
 
     monkeypatch.setattr(store, "write_snapshot", boom)
@@ -265,3 +265,37 @@ def test_vacuum_removes_orphan_manifests(spark, tmp_path):
     assert any(n.startswith("manifest-") for n in removed)
     # the surviving snapshots still resolve fully
     assert table.read(spark).count() == 5
+
+
+def test_commit_cas_detects_concurrent_writer(spark, tmp_path):
+    """Optimistic-concurrency commit: advancing the pointer requires the
+    table to still be at the expected parent snapshot — a stale writer gets
+    CommitConflictError and the table state is untouched."""
+    import datetime
+    import pytest as _pytest
+    from cdc.meta import store
+    from cdc.table.table import CdcTable
+
+    t0 = datetime.datetime(2026, 1, 1)
+    ddl = ("repo string, path string, content string, lsn long, "
+           "ts timestamp, op string, batch_id long")
+
+    def batch(key, lsn):
+        return spark.createDataFrame([("r0", key, "x", lsn, t0, "I", 0)], ddl)
+
+    table = CdcTable(str(tmp_path / "t"), n_partitions=2)
+    table.commit_merge(spark, batch("a.py", 1), "b1")
+    snap1 = table.current_snapshot()
+
+    # writer B commits on top of snap1
+    table.commit_merge(spark, batch("b.py", 2), "b2")
+
+    # writer A, still holding snap1 as parent, tries to publish: CAS fails
+    stale = store.new_snapshot(
+        snap1, "b-stale", lsn_high=99, files=[], schema_ddl="x int",
+        operation="merge", committed_ts="t")
+    with _pytest.raises(store.CommitConflictError):
+        store.write_snapshot(table.root, stale,
+                             expected_parent=snap1["snapshot_id"])
+    assert table.current_snapshot()["batch_key"] == "b2"
+    assert table.lsn_high() == 2
