@@ -251,10 +251,42 @@ class CdcTable:
 
         if len(targets) <= 2:
             entries = [footer_entry(t) for t in targets]
-        else:
+        elif len(targets) <= 256:
             with ThreadPoolExecutor(max_workers=min(16, len(targets))) as ex:
                 entries = list(ex.map(footer_entry, targets))
+        else:
+            # EXECUTOR-side stats for very large commits: one narrow Spark
+            # agg (lsn column only, grouped by source file) replaces
+            # thousands of driver-side footer round-trips — the stats step
+            # scales with the cluster, not the driver.
+            entries = self._stats_via_spark(df.sparkSession, out_dir, rel_dir,
+                                            ddl, kind)
         return entries, ddl
+
+    def _stats_via_spark(self, spark: SparkSession, out_dir: str,
+                         rel_dir: str, ddl: str, kind: str) -> list[dict]:
+        stats = (spark.read.parquet(out_dir)
+                 .select(F.input_file_name().alias("f"), "_lsn", PART_COL)
+                 .groupBy("f", PART_COL)
+                 .agg(F.count(F.lit(1)).alias("rows"),
+                      F.min("_lsn").alias("lo"), F.max("_lsn").alias("hi"))
+                 .collect())
+        entries = []
+        for r in sorted(stats, key=lambda r: r["f"]):
+            fpath = r["f"]
+            idx = fpath.index(out_dir)
+            rel = fpath[idx + len(out_dir):].lstrip("/")
+            entries.append({
+                "path": f"{rel_dir}/{rel}",
+                "part": int(r[PART_COL]),
+                "rows": int(r["rows"]),
+                "lsn_min": int(r["lo"]) if r["lo"] is not None else -1,
+                "lsn_max": int(r["hi"]) if r["hi"] is not None else -1,
+                "columns": ddl,
+                "origin": "added",
+                "kind": kind,
+            })
+        return entries
 
     def commit_delta(self, spark: SparkSession, batch_final: DataFrame,
                      batch_key: str) -> dict:

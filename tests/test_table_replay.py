@@ -299,3 +299,30 @@ def test_commit_cas_detects_concurrent_writer(spark, tmp_path):
                              expected_parent=snap1["snapshot_id"])
     assert table.current_snapshot()["batch_key"] == "b2"
     assert table.lsn_high() == 2
+
+
+def test_executor_side_stats_match_footer_stats(spark, tmp_path):
+    """The large-commit stats path (one narrow Spark agg grouped by source
+    file) must produce the same manifest entries as the driver-side
+    parquet-footer reads."""
+    import datetime
+    from cdc.table.table import CdcTable
+
+    t0 = datetime.datetime(2026, 1, 1)
+    ddl = ("repo string, path string, content string, lsn long, "
+           "ts timestamp, op string, batch_id long")
+    rows = [(f"r{i%5}", f"p{i}.py", "x", i + 1, t0, "I", 0) for i in range(200)]
+    table = CdcTable(str(tmp_path / "t"), n_partitions=8)
+    table.commit_merge(spark, spark.createDataFrame(rows, ddl), "b1")
+    snap = table.current_snapshot()
+    footer = sorted(
+        ({k: v for k, v in e.items()} for e in snap["files"]),
+        key=lambda e: e["path"])
+
+    import os
+    out_dir = os.path.join(table.root, "data/snap-000000000001")
+    via_spark = sorted(
+        table._stats_via_spark(spark, out_dir, "data/snap-000000000001",
+                               footer[0]["columns"], "base"),
+        key=lambda e: e["path"])
+    assert via_spark == footer
