@@ -96,3 +96,44 @@ def online_lww_changelog(events: DataFrame) -> DataFrame:
                 outputStructType=OUTPUT_SCHEMA,
                 outputMode="Update",
                 timeMode="None"))
+
+
+def online_lww_changelog_gs(events: DataFrame) -> DataFrame:
+    """T6 via the ``applyInPandasWithState`` GroupState API — identical
+    online-LWW semantics to ``online_lww_changelog`` WITHOUT the protobuf
+    state protocol (GroupState serializes over Arrow/JSON), so it runs in
+    protobuf-less environments like this container. Emits one changelog row
+    per key per micro-batch in which the key appeared, carrying the current
+    winner (state = one row per live key; O(live keys), independent of
+    event volume)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def lww(key, pdfs, state: GroupState):
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["lsn", "batch_id"])
+            last = pdf.iloc[-1]
+            content = last["content"]
+            cand = (int(last["lsn"]), int(last["batch_id"]), str(last["op"]),
+                    str(last["commit"]), str(last["lang"]),
+                    None if content is None or
+                    (isinstance(content, float) and pd.isna(content))
+                    else str(content))
+            if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                best = cand
+        assert best is not None
+        state.update(best)
+        yield pd.DataFrame({
+            "repo": [key[0]], "path": [key[1]],
+            "lsn": [best[0]], "op": [best[2]], "commit": [best[3]],
+            "lang": [best[4]], "content": [best[5]],
+        })
+
+    return (events
+            .select("repo", "path", "lsn", "batch_id", "op", "commit", "lang", "content")
+            .groupBy("repo", "path")
+            .applyInPandasWithState(
+                lww, OUTPUT_SCHEMA, WINNER_SCHEMA,
+                "append",  # changelog rows are append-only facts, which
+                           # also composes with the (append-only) file sink
+                GroupStateTimeout.NoTimeout))

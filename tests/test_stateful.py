@@ -1,23 +1,15 @@
-"""T6 — online stateful LWW (transformWithStateInPandas + RocksDB state
-store): the final emitted winner per key must equal the batch LWW."""
+"""T6 — online stateful LWW: the final emitted winner per key must equal
+the batch LWW. Two runtimes: the GroupState form
+(``online_lww_changelog_gs``, runs here) and the Spark-4
+transformWithStateInPandas form (needs protobuf -> skipped here)."""
 
 from __future__ import annotations
 
 import pytest
 
-pytest.importorskip(
-    "google.protobuf",
-    reason="transformWithStateInPandas serializes Python<->JVM state over "
-           "protobuf; the package is not in this container (no network "
-           "installs). The operator itself is implemented in "
-           "cdc/stream/stateful.py and runs wherever pyspark[connect] "
-           "extras are present.")
-from pyspark.sql import functions as F
-
 from cdc.dedup import last_writer_wins
-from cdc.io.log import read_log
 from cdc.schema.registry import default_registry
-from cdc.stream.stateful import online_lww_changelog
+from cdc.stream.stateful import online_lww_changelog, online_lww_changelog_gs
 from cdc.testing.gen import gen_change_events, write_change_log
 
 
@@ -30,8 +22,9 @@ def rocksdb_spark(spark):
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
-def test_online_lww_matches_batch_lww(rocksdb_spark, tmp_path):
-    spark = rocksdb_spark
+def _run_changelog(spark, tmp_path, op):
+    """Drive ``op`` (a changelog-producing stateful operator) over a
+    multi-epoch stream and compare its final winners to the batch LWW."""
     log = str(tmp_path / "log")
     ev = gen_change_events(spark, n_keys=150, mean_events_per_key=4, seed=23)
     write_change_log(ev, log, events_per_file=400)
@@ -41,7 +34,7 @@ def test_online_lww_matches_batch_lww(rocksdb_spark, tmp_path):
         .option("maxFilesPerTrigger", 2) \
         .parquet(f"{log}/v=3")
     # v=3 subset only (single schema) — the stateful op itself is under test
-    changelog = online_lww_changelog(stream)
+    changelog = op(stream)
 
     sink = str(tmp_path / "out")
     q = (changelog.writeStream.format("parquet")
@@ -65,3 +58,17 @@ def test_online_lww_matches_batch_lww(rocksdb_spark, tmp_path):
     assert got == exp
     # multiple epochs actually ran (otherwise this tested nothing stateful)
     assert out.count() >= len(exp)
+
+
+def test_online_lww_groupstate_matches_batch_lww(rocksdb_spark, tmp_path):
+    """T6 (GroupState runtime — works without protobuf)."""
+    _run_changelog(rocksdb_spark, tmp_path, online_lww_changelog_gs)
+
+
+def test_online_lww_tws_matches_batch_lww(rocksdb_spark, tmp_path):
+    """T6 (transformWithStateInPandas runtime — protobuf state protocol)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas serializes Python<->JVM state "
+               "over protobuf; not in this container (no network installs).")
+    _run_changelog(rocksdb_spark, tmp_path, online_lww_changelog)
