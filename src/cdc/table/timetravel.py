@@ -96,3 +96,35 @@ def snapshot_diff(spark: SparkSession, table: CdcTable,
     added = b.subtract(a).withColumn("change", F.lit("added_or_changed"))
     removed = a.subtract(b).withColumn("change", F.lit("removed_or_changed"))
     return added.unionByName(removed)
+
+
+def change_feed(spark: SparkSession, table: CdcTable,
+                from_id: int, to_id: int) -> DataFrame:
+    """Change-data-feed read (the Delta/Iceberg 'read changes' surface):
+    row-level changes between two committed snapshots, classified as
+    insert / update / delete per key.
+
+    Physical plan: one full-outer join of the two (manifest-pruned)
+    snapshot reads on the key columns, compared by ``_content_sha256`` —
+    no log access needed, so the feed works even after the source log is
+    truncated. Emits the POST-image for insert/update and the key for
+    delete, plus ``_change_type`` and the (from, to) snapshot ids."""
+    keys = list(table.key_cols)
+    a = table.read(spark, snapshot_id=from_id)
+    b = table.read(spark, snapshot_id=to_id)
+    an = a.select(*keys, F.col("_content_sha256").alias("_sha_a"))
+    bsel = b.drop(PART_COL)
+    bn = bsel.withColumnRenamed("_content_sha256", "_sha_b")
+    j = bn.join(an, keys, "full_outer")
+    change = (F.when(F.col("_sha_a").isNull(), "insert")
+              .when(F.col("_sha_b").isNull(), "delete")
+              .when(F.col("_sha_a") != F.col("_sha_b"), "update")
+              .otherwise(None))
+    out_cols = [c for c in bsel.columns if c != "_content_sha256"]
+    return (j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*out_cols,
+                    F.col("_sha_b").alias("_content_sha256"),
+                    "_change_type",
+                    F.lit(from_id).alias("_from_snapshot"),
+                    F.lit(to_id).alias("_to_snapshot")))

@@ -304,3 +304,37 @@ def test_mm_resize_and_features(spark):
          extract_features(with_binary_payload(d)).collect()}
     assert len(f[1]["embedding"]) == 8
     assert f[1]["embedding"][0] == ((300 * 1 * 31) % 997) / 997.0
+
+
+def test_change_feed_classifies_insert_update_delete(spark, tmp_path):
+    """CDF read: per-key insert/update/delete classification between two
+    snapshots, and CDF(from->mid) + CDF(mid->to) keys == CDF(from->to)."""
+    import datetime
+    from cdc.pipeline import apply_batch
+    from cdc.table.table import CdcTable
+    from cdc.table.timetravel import change_feed
+
+    t0 = datetime.datetime(2026, 1, 1)
+    ddl = ("repo string, path string, content string, lsn long, "
+           "ts timestamp, op string, batch_id long")
+    t = CdcTable(str(tmp_path / "t"), n_partitions=2)
+    apply_batch(spark, t, spark.createDataFrame(
+        [("r", "a.py", "A1", 1, t0, "I", 0),
+         ("r", "b.py", "B1", 2, t0, "I", 0)], ddl), "b1",
+        normalize=False, metrics=False)
+    apply_batch(spark, t, spark.createDataFrame(
+        [("r", "a.py", "A2", 3, t0, "U", 1),        # update
+         ("r", "b.py", None, 4, t0, "D", 1),        # delete
+         ("r", "c.py", "C1", 5, t0, "I", 1)], ddl), "b2",
+        normalize=False, metrics=False)
+
+    cf = {r["path"]: r["_change_type"]
+          for r in change_feed(spark, t, 1, 2).collect()}
+    assert cf == {"a.py": "update", "b.py": "delete", "c.py": "insert"}
+
+    apply_batch(spark, t, spark.createDataFrame(
+        [("r", "b.py", "B2", 6, t0, "I", 2)], ddl), "b3",
+        normalize=False, metrics=False)
+    direct = {(r["path"], r["_change_type"])
+              for r in change_feed(spark, t, 1, 3).collect()}
+    assert direct == {("a.py", "update"), ("b.py", "update"), ("c.py", "insert")}
