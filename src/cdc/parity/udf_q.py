@@ -182,3 +182,62 @@ def cdc_replay_full(spark, sf_dir):
     table = CdcTable(os.path.join(work, "table"), n_partitions=8)
     replay(spark, log_dir, table, batches_per_commit=None, metrics=False)
     return table.read(spark).select("repo", "path", "_lsn", "_content_sha256")
+
+
+@q("cdf_snapshot_diff", """
+WITH ev AS (
+  SELECT user_id,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         concat(event_type, ':', CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)) AS content
+  FROM events
+),
+s1 AS (
+  SELECT user_id, content, op FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+    FROM ev WHERE lsn < 5000) WHERE rn = 1 AND op <> 'D'
+),
+s2 AS (
+  SELECT user_id, content, op FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+    FROM ev) WHERE rn = 1 AND op <> 'D'
+)
+SELECT coalesce(s2.user_id, s1.user_id) AS user_id,
+       s2.content AS content,
+       CASE WHEN s1.user_id IS NULL THEN 'insert'
+            WHEN s2.user_id IS NULL THEN 'delete'
+            WHEN s1.content <> s2.content THEN 'update' END AS _change_type
+FROM s2 FULL OUTER JOIN s1 USING (user_id)
+WHERE (s1.user_id IS NULL) OR (s2.user_id IS NULL) OR (s1.content <> s2.content)
+""")
+def cdf_snapshot_diff(spark, sf_dir):
+    """Change-data-feed read over REAL committed snapshots: the events log
+    is applied as two transactional batches (lsn < 5000, rest) into a
+    scratch table, and ``change_feed`` classifies every key's transition
+    between the two snapshots (insert / update / delete) — one full-outer
+    join of two manifest-pruned snapshot reads, no log access."""
+    from cdc.pipeline import apply_batch
+    from cdc.table.table import CdcTable
+    from cdc.table.timetravel import change_feed
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.concat(F.col("event_type"), F.lit(":"),
+                 F.col("value").cast("decimal(18,2)").cast("string")).alias("content"),
+        (F.col("event_id") / 1000).cast("long").alias("batch_id"))
+
+    work = os.path.join(tempfile.gettempdir(), "cdc_cdf_q",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(work, ignore_errors=True)
+    table = CdcTable(work, n_partitions=8, layout="key_hash")
+    apply_batch(spark, table, ev.filter(F.col("lsn") < 5000), "b1",
+                normalize=False, metrics=False)
+    apply_batch(spark, table, ev.filter(F.col("lsn") >= 5000), "b2",
+                normalize=False, metrics=False)
+    cf = change_feed(spark, table, 1, 2)
+    return cf.select(F.col("repo").cast("long").alias("user_id"),
+                     "content", "_change_type")

@@ -338,3 +338,30 @@ def test_change_feed_classifies_insert_update_delete(spark, tmp_path):
     direct = {(r["path"], r["_change_type"])
               for r in change_feed(spark, t, 1, 3).collect()}
     assert direct == {("a.py", "update"), ("b.py", "update"), ("c.py", "insert")}
+
+
+def test_hot_key_stream_salted_equals_maxby(spark):
+    """Pathological single hot KEY: the planner (small broadcast cap to
+    simulate an unbroadcastable key space) escalates to salted ranking, and
+    the salted result equals the skew-robust maxby bit-for-bit."""
+    from cdc.dedup import last_writer_wins
+    from cdc.skew import plan_lww
+    # 50k events on ONE key + 1k spread keys
+    hot = spark.range(50_000).select(
+        F.lit("hot_repo").alias("repo"), F.lit("hot.py").alias("path"),
+        F.col("id").alias("lsn"), F.col("id").alias("batch_id"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("content"))
+    cold = spark.range(1_000).select(
+        F.lit("cold_repo").alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+        (F.col("id") + 100_000).alias("lsn"), F.lit(0).alias("batch_id"),
+        F.lit("c").alias("content"))
+    ev = hot.unionByName(cold)
+    via, salt = plan_lww(ev, target_rows_per_task=10_000, broadcast_keys_max=10)
+    assert via == "salted" and salt >= 4
+    got = {(r.repo, r.path, r.lsn) for r in
+           last_writer_wins(ev, via="salted", salt_buckets=salt).collect()}
+    exp = {(r.repo, r.path, r.lsn) for r in
+           last_writer_wins(ev, via="maxby").collect()}
+    assert got == exp
+    assert ("hot_repo", "hot.py", 49_999) in got
