@@ -16,16 +16,26 @@ from pyspark.sql import functions as F
 LATE_SECONDS = 600  # watermark analog: events >10 min behind the partition max
 
 
-def batch_lineage_metrics(events_raw: DataFrame, part_col: str = "part") -> DataFrame:
+def batch_lineage_metrics(events_raw: DataFrame, part_col: str = "part",
+                          exact_dedup: bool = True) -> DataFrame:
     """Per-partition counters for one batch: op mix, dedup drops, late rows,
     lsn bounds, distinct-path cardinality (HLL).
 
     One full (narrow-column) pass over the raw stream — the scan never
-    touches the wide ``content`` column, and duplicate-delivery accounting
-    folds into the same (part,batch,lsn)-granularity aggregate rather than
-    a separate materialized dedup. (The merge path itself doesn't need a
-    dedup pass at all: verbatim re-deliveries collapse inside the LWW
-    max_by/row_number — cdc.pipeline.apply_batch.)
+    touches the wide ``content`` column. (The merge path itself doesn't
+    need a dedup pass at all: verbatim re-deliveries collapse inside the
+    LWW max_by/row_number — cdc.pipeline.apply_batch.)
+
+    ``exact_dedup=True`` — duplicate-delivery accounting folds into a
+    (part,batch,lsn)-granularity aggregate: exact, but it shuffles the
+    whole (narrow) batch once. ``exact_dedup=False`` — the replay default
+    (cdc.pipeline): ``n_events`` comes from an approx_count_distinct HLL
+    sketch whose partials combine map-side, so the ONLY shuffle is P
+    partial-agg rows. Op mix / late then count raw deliveries (verbatim
+    duplicates included, ~the duplicate rate, which n_dedup_dropped itself
+    reports); lsn bounds and n_raw are duplicate-insensitive either way.
+    At 10^10 events a full shuffle of the log for an informational counter
+    is the wrong trade — that is what the flag is for.
 
     "Late" is measured against the *partition* max ts, gathered first from
     a 2-column scan and broadcast back (P rows) — never a single-task
@@ -46,6 +56,22 @@ def batch_lineage_metrics(events_raw: DataFrame, part_col: str = "part") -> Data
     # same ts.) Plan shape pinned by test_plans.py::test_metrics_single_pass.
     late_flag = (F.col("ts") < F.col("_batch_max_ts")
                  - F.expr(f"INTERVAL {LATE_SECONDS} SECONDS"))
+    if not exact_dedup:
+        out = (narrow.join(F.broadcast(maxes), part_col)
+               .groupBy(part_col).agg(
+                   F.count(F.lit(1)).alias("n_raw"),
+                   F.approx_count_distinct(F.struct("batch_id", "lsn"))
+                    .alias("n_events"),
+                   F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_ins"),
+                   F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_upd"),
+                   F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_del"),
+                   F.sum(late_flag.cast("int")).alias("n_late"),
+                   F.min("lsn").alias("lsn_low"),
+                   F.max("lsn").alias("lsn_high"),
+                   F.approx_count_distinct("path").alias("approx_paths")))
+        return out.withColumn(
+            "n_dedup_dropped",
+            F.greatest(F.col("n_raw") - F.col("n_events"), F.lit(0)))
     ded = (narrow.join(F.broadcast(maxes), part_col)
            .groupBy(part_col, "batch_id", "lsn")
            .agg(F.count(F.lit(1)).alias("_copies"),

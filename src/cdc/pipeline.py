@@ -86,7 +86,11 @@ def apply_batch(
         else:
             snap = table.commit_merge(spark, final, batch_key)
         if metrics:
-            m = batch_lineage_metrics(events.withColumn("part", table.part_of()))
+            # exact_dedup=False: the dedup counter uses a map-side HLL
+            # sketch so the metrics job never shuffles the batch (see
+            # cdc.metrics) — the exact form stays available for audits.
+            m = batch_lineage_metrics(events.withColumn("part", table.part_of()),
+                                      exact_dedup=False)
             write_batch_metrics(m, table.root, batch_key, wall_ms=int((time.monotonic() - t0) * 1000))
     finally:
         final.unpersist()

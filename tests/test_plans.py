@@ -186,3 +186,26 @@ def test_key_hash_commit_writes_without_repartition_exchange(spark, tmp_path, lo
                .select(key_part_expr(("repo", "path"), 4).alias("p"))
                .distinct().collect())
         assert [r.p for r in got] == [int(f["part"])]
+
+
+def test_metrics_approx_dedup_has_no_batch_shuffle(spark, log_dir):
+    """exact_dedup=False (the replay default): the ONLY exchange is the
+    P-row partial-agg combine — no (part,batch,lsn) shuffle of the batch.
+    Counters that matter exactly (lsn bounds, n_raw, op mix) match the
+    exact form; the HLL dedup estimate lands within its error bound."""
+    df = read_log(spark, log_dir, default_registry())
+    part = F.pmod(F.xxhash64("repo"), F.lit(4))
+    approx = batch_lineage_metrics(df.withColumn("part", part), exact_dedup=False)
+    p = plan_of(approx).split("== Physical Plan ==")[-1]
+    assert "batch_id#" not in [ln for ln in p.splitlines()
+                               if "Exchange hashpartitioning" in ln][0]
+    exact = batch_lineage_metrics(df.withColumn("part", part), exact_dedup=True)
+    ea = {r["part"]: r for r in approx.collect()}
+    ee = {r["part"]: r for r in exact.collect()}
+    assert set(ea) == set(ee)
+    for k in ee:
+        assert ea[k]["n_raw"] == ee[k]["n_raw"]
+        assert ea[k]["lsn_low"] == ee[k]["lsn_low"]
+        assert ea[k]["lsn_high"] == ee[k]["lsn_high"]
+        # HLL standard error ~2.3%; allow 10% on the distinct estimate
+        assert abs(ea[k]["n_events"] - ee[k]["n_events"]) <= max(5, 0.1 * ee[k]["n_events"])
