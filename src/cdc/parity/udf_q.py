@@ -238,6 +238,9 @@ def cdf_snapshot_diff(spark, sf_dir):
                 normalize=False, metrics=False)
     apply_batch(spark, table, ev.filter(F.col("lsn") >= 5000), "b2",
                 normalize=False, metrics=False)
-    cf = change_feed(spark, table, 1, 2)
+    # at tiny sf the whole log sits below the cutoff: batch 2 is empty and
+    # (correctly) commits nothing, so diff snapshot 1 against CURRENT —
+    # same snapshot then, and the oracle's s1==s2 diff is empty too.
+    cf = change_feed(spark, table, 1, table.current_snapshot()["snapshot_id"])
     return cf.select(F.col("repo").cast("long").alias("user_id"),
                      "content", "_change_type")
