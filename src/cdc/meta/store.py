@@ -161,23 +161,50 @@ def write_snapshot(root: str, snap: dict[str, Any],
         os.unlink(lock)
 
 
-def _acquire_commit_lock(root: str) -> int:
+STALE_LOCK_SECONDS = 600.0  # a metadata write must finish inside this —
+                            # beyond it the lock counts as abandoned by a
+                            # crashed writer and may be broken
+
+
+def _acquire_commit_lock(root: str, timeout: float = 30.0) -> int:
     import time
     lock = os.path.join(meta_dir(root), "_commit.lock")
-    deadline = time.monotonic() + 30.0
+    breaker = lock + ".breaker"
+    deadline = time.monotonic() + timeout
     while True:
         try:
             return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            try:  # break locks abandoned by a crashed writer (>60 s old)
-                if time.time() - os.path.getmtime(lock) > 60.0:
-                    os.unlink(lock)
-                    continue
+            try:
+                stale = time.time() - os.path.getmtime(lock) > STALE_LOCK_SECONDS
             except OSError:
-                pass
+                stale = False  # vanished between open and stat — just retry
+            if stale:
+                # break the abandoned lock under a short-lived BREAKER lock
+                # so only ONE waiter performs the unlink: a bare
+                # check-then-unlink race lets two waiters each remove the
+                # other's FRESH lock and both enter the critical section.
+                try:
+                    bfd = os.open(breaker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    try:  # a breaker abandoned by a crash is itself broken
+                        if time.time() - os.path.getmtime(breaker) > STALE_LOCK_SECONDS:
+                            os.unlink(breaker)
+                    except OSError:
+                        pass
+                else:
+                    try:  # re-check under the breaker, then unlink
+                        if time.time() - os.path.getmtime(lock) > STALE_LOCK_SECONDS:
+                            os.unlink(lock)
+                    except OSError:
+                        pass
+                    finally:
+                        os.close(bfd)
+                        os.unlink(breaker)
+                    continue
             if time.monotonic() > deadline:
                 raise CommitConflictError(
-                    f"commit lock held for >30s: {lock}") from None
+                    f"commit lock held for >{timeout:.0f}s: {lock}") from None
             time.sleep(0.05)
 
 

@@ -332,7 +332,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """)
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash PAIR EXTRACTION: banded Hamming-bucket self-join over the
-    16-bit signatures -> candidate pairs -> exact Hamming filter (<= 3).
+    32-bit signatures -> candidate pairs -> exact Hamming filter (<= 3).
 
     The banding is COMPLETE for the distance bound (pigeonhole over 4
     bands), so the output equals the oracle's all-pairs formulation while

@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 import pandas as pd  # module-global: pandas-UDF type hints resolve against it
 from pyspark.sql import functions as F
@@ -34,6 +35,24 @@ def q(name: str, oracle: str | None = None):
             ORACLES[name] = oracle
         return fn
     return deco
+
+
+def _scratch(name: str) -> str:
+    """Collision-free scratch dir (unique per invocation, so concurrent
+    harness/bench runs never rmtree each other's live tables), garbage-
+    collected by AGE: siblings older than an hour go, bounding /tmp growth
+    while the returned LAZY scans of the newest run stay readable."""
+    parent = os.path.join(tempfile.gettempdir(), name)
+    os.makedirs(parent, exist_ok=True)
+    now = time.time()
+    for d in os.listdir(parent):
+        full = os.path.join(parent, d)
+        try:
+            if now - os.path.getmtime(full) > 3600:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
+    return tempfile.mkdtemp(dir=parent)
 
 
 _DIRTY = "text || '  ' || chr(13) || chr(10) || 'tail line' || chr(9) || chr(13) || ' end  '"
@@ -169,13 +188,10 @@ def cdc_replay_full(spark, sf_dir):
         n_keys = max(100, int(100_000 * float(sf) / 2))
     except ValueError:
         n_keys = 500
-    # deterministic per-sf scratch dir, wiped up front and left in place:
-    # the returned DataFrame is a LAZY scan of the committed table (no
-    # full-state collect to the driver — at larger sf that was a driver
-    # memory cliff); the caller collects whatever it needs.
-    work = os.path.join(tempfile.gettempdir(), "cdc_replay_q", f"sf{sf}")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work, exist_ok=True)
+    # unique scratch dir, left in place (the returned DataFrame is a LAZY
+    # scan of the committed table — no full-state collect to the driver);
+    # age-based GC bounds accumulation across runs.
+    work = _scratch("cdc_replay_q")
     log_dir = os.path.join(work, "log")
     ev = gen_change_events(spark, n_keys=n_keys, mean_events_per_key=8, seed=7)
     write_change_log(ev, log_dir, events_per_file=20_000)
@@ -230,9 +246,7 @@ def cdf_snapshot_diff(spark, sf_dir):
                  F.col("value").cast("decimal(18,2)").cast("string")).alias("content"),
         (F.col("event_id") / 1000).cast("long").alias("batch_id"))
 
-    work = os.path.join(tempfile.gettempdir(), "cdc_cdf_q",
-                        os.path.basename(os.path.normpath(sf_dir)))
-    shutil.rmtree(work, ignore_errors=True)
+    work = _scratch("cdc_cdf_q")
     table = CdcTable(work, n_partitions=8, layout="key_hash")
     apply_batch(spark, table, ev.filter(F.col("lsn") < 5000), "b1",
                 normalize=False, metrics=False)

@@ -97,17 +97,33 @@ def apply_batch(
     return snap
 
 
+GROUP_KEY_PREFIX = "grp-"   # RESERVED ledger namespace for grouped commits:
+                            # only keys replay() itself wrote are parsed as
+                            # batch high-water marks — a caller-chosen
+                            # apply_batch key can never masquerade as one.
+
+
+def _group_key(lo: int, hi: int) -> str:
+    return f"{GROUP_KEY_PREFIX}{lo:08d}-{hi:08d}"
+
+
 def _committed_batch_hi(table: CdcTable) -> int:
-    """Highest producer batch_id covered by a committed batch GROUP
-    (ledger keys ``b<lo>-<hi>``); -1 when no grouped commit exists."""
+    """Highest producer batch_id covered by a committed replay GROUP
+    (ledger keys ``grp-<lo>-<hi>``); -1 when no grouped commit exists."""
     snap = table.current_snapshot()
     hi = -1
     for key in (snap["committed_batches"] if snap else []):
-        if key.startswith("b") and "-" in key:
-            lo_s, _, hi_s = key[1:].partition("-")
+        if key.startswith(GROUP_KEY_PREFIX):
+            lo_s, _, hi_s = key[len(GROUP_KEY_PREFIX):].partition("-")
             if lo_s.isdigit() and hi_s.isdigit():
                 hi = max(hi, int(hi_s))
     return hi
+
+
+def _has_full_tail_commit(table: CdcTable) -> bool:
+    snap = table.current_snapshot()
+    return any(k.startswith("replay-from-")
+               for k in (snap["committed_batches"] if snap else []))
 
 
 def replay(
@@ -169,11 +185,18 @@ def replay(
             # batch-scoped resume (see docstring): pushes to footers because
             # write_change_log files are contiguous in batch_id too.
             log = log.filter(F.col("batch_id") > bhi)
+        elif after >= 0 and _has_full_tail_commit(table):
+            # a table filled ONLY by full-tail commits: everything at or
+            # below the high-water mark was applied by those commits, so the
+            # switch to grouped mode still resumes O(remaining) (same
+            # reorder_horizon caveat as the full-tail path).
+            log = log.filter(
+                F.col("lsn") > max(-1, after - max(0, reorder_horizon)))
         bids = [r[0] for r in log.select("batch_id").distinct().orderBy("batch_id").collect()]
         for i in range(0, len(bids), batches_per_commit):
             group = bids[i : i + batches_per_commit]
             lo, hi = group[0], group[-1]
-            key = f"b{lo:08d}-{hi:08d}"
+            key = _group_key(lo, hi)
             if table.is_committed(key):
                 res.n_skipped += 1
                 continue

@@ -62,7 +62,11 @@ def compact(spark: SparkSession, table: CdcTable,
         lsn_high=parent["lsn_high"], files=entries, schema_ddl=ddl,
         operation="compact",
         committed_ts=datetime.now(timezone.utc).isoformat())
-    store.write_snapshot(table.root, snap)
+    # CAS on the parent read at the top: a writer that committed meanwhile
+    # must not be clobbered by the compaction (same snapshot-id collision
+    # risk as any commit)
+    store.write_snapshot(table.root, snap,
+                         expected_parent=parent["snapshot_id"])
     return snap
 
 

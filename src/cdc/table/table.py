@@ -152,8 +152,10 @@ class CdcTable:
                     # layer ordinal = snapshot id baked into the staging dir
                     # name; computed at scan time (input_file_name is only
                     # valid inside the scan stage, before any shuffle).
+                    # anchored to the data dir: a table ROOT containing
+                    # 'snap-<digits>' must not shadow the layer id
                     d = d.withColumn("_layer", F.regexp_extract(
-                        F.input_file_name(), r"snap-(\d+)", 1).cast("long"))
+                        F.input_file_name(), r"data/snap-(\d+)/", 1).cast("long"))
                 dfs.append(d)
             df = dfs[0]
             for d in dfs[1:]:
@@ -271,9 +273,14 @@ class CdcTable:
                  .agg(F.count(F.lit(1)).alias("rows"),
                       F.min("_lsn").alias("lo"), F.max("_lsn").alias("hi"))
                  .collect())
+        from urllib.parse import unquote, urlparse
+
         entries = []
         for r in sorted(stats, key=lambda r: r["f"]):
-            fpath = r["f"]
+            # input_file_name() returns a percent-encoded file URI — decode
+            # before deriving the manifest-relative path, or roots with
+            # spaces/non-ASCII produce unreadable entries
+            fpath = unquote(urlparse(r["f"]).path)
             idx = fpath.index(out_dir)
             rel = fpath[idx + len(out_dir):].lstrip("/")
             entries.append({

@@ -112,15 +112,21 @@ def change_feed(spark: SparkSession, table: CdcTable,
     keys = list(table.key_cols)
     a = table.read(spark, snapshot_id=from_id)
     b = table.read(spark, snapshot_id=to_id)
-    an = a.select(*keys, F.col("_content_sha256").alias("_sha_a"))
+    # presence is tracked with explicit join-side markers, NOT sha
+    # null-ness: a live row may legitimately carry NULL content (sha NULL),
+    # and NULL<->value content transitions must classify as updates — so
+    # the sha comparison is null-safe.
+    an = a.select(*keys, F.col("_content_sha256").alias("_sha_a"),
+                  F.lit(True).alias("_in_a"))
     bsel = b.drop(PART_COL)
-    bn = bsel.withColumnRenamed("_content_sha256", "_sha_b")
+    bn = (bsel.withColumnRenamed("_content_sha256", "_sha_b")
+          .withColumn("_in_b", F.lit(True)))
     j = bn.join(an, keys, "full_outer")
-    change = (F.when(F.col("_sha_a").isNull(), "insert")
-              .when(F.col("_sha_b").isNull(), "delete")
-              .when(F.col("_sha_a") != F.col("_sha_b"), "update")
+    change = (F.when(F.col("_in_a").isNull(), "insert")
+              .when(F.col("_in_b").isNull(), "delete")
+              .when(~F.col("_sha_a").eqNullSafe(F.col("_sha_b")), "update")
               .otherwise(None))
-    out_cols = [c for c in bsel.columns if c != "_content_sha256"]
+    out_cols = [c for c in bsel.columns if c not in ("_content_sha256", "_in_b")]
     return (j.withColumn("_change_type", change)
             .filter(F.col("_change_type").isNotNull())
             .select(*out_cols,

@@ -365,3 +365,20 @@ def test_hot_key_stream_salted_equals_maxby(spark):
            last_writer_wins(ev, via="maxby").collect()}
     assert got == exp
     assert ("hot_repo", "hot.py", 49_999) in got
+
+
+def test_exact_ntile_hot_value_range_split(spark):
+    """A value group bigger than max_group_rows is range-split on sampled
+    tiebreak splitters — the result must still equal global ntile exactly
+    (splitters are pure partition points)."""
+    from pyspark.sql import Window as W
+    from cdc.skew import exact_ntile
+    # 500 keys with n=1 (the dominant group) + a few bigger values
+    rows = [(i, 1) for i in range(500)] + [(1000 + i, 5 + i) for i in range(7)]
+    counts = spark.createDataFrame(rows, "user_id long, n long")
+    got = {r.user_id: r.ntile for r in
+           exact_ntile(counts, 10, tiebreak_cols=("user_id",),
+                       max_group_rows=50, range_buckets=8).collect()}
+    exp = {r.user_id: r.nt for r in counts.withColumn(
+        "nt", F.ntile(10).over(W.orderBy(F.desc("n"), F.asc("user_id")))).collect()}
+    assert got == exp
