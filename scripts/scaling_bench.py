@@ -94,14 +94,20 @@ def main() -> None:
     log_dir = os.path.join(work, "log")
 
     if not os.path.isdir(log_dir):
-        os.environ.setdefault("CDC_DRIVER_MEM", "64g")  # gen persists the
-        from cdc.session import get_spark                # full event frame
-        from cdc.testing.gen import gen_change_events, write_change_log
-        spark = get_spark("scale-gen", cores=32)
-        ev = gen_change_events(spark, n_keys=args.keys, mean_events_per_key=10,
-                               seed=11)
-        write_change_log(ev, log_dir, events_per_file=50_000)
-        spark.stop()
+        # generate in an ISOLATED subprocess: the py4j gateway JVM lives as
+        # long as its parent python, so an in-process generator would keep
+        # a 32-core JVM alive (and contending) through every measured run.
+        gen_code = (
+            "import os, sys; sys.path.insert(0, os.path.join(%r, 'src'));"
+            "os.environ.setdefault('CDC_DRIVER_MEM', '64g');"
+            "from cdc.session import get_spark;"
+            "from cdc.testing.gen import gen_change_events, write_change_log;"
+            "spark = get_spark('scale-gen', cores=32);"
+            "ev = gen_change_events(spark, n_keys=%d, mean_events_per_key=10, seed=11);"
+            "write_change_log(ev, %r, events_per_file=50_000);"
+            "spark.stop()" % (REPO, args.keys, log_dir))
+        subprocess.run([sys.executable, "-c", gen_code], check=True,
+                       timeout=3000)
 
     results = {}
     try:
