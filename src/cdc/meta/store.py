@@ -158,7 +158,10 @@ def write_snapshot(root: str, snap: dict[str, Any],
     finally:
         lock = os.path.join(meta_dir(root), "_commit.lock")
         os.close(fd)
-        os.unlink(lock)
+        try:
+            os.unlink(lock)
+        except OSError:  # a staleness breaker removed it mid-write
+            pass
 
 
 STALE_LOCK_SECONDS = 600.0  # a metadata write must finish inside this —
@@ -200,7 +203,10 @@ def _acquire_commit_lock(root: str, timeout: float = 30.0) -> int:
                         pass
                     finally:
                         os.close(bfd)
-                        os.unlink(breaker)
+                        try:
+                            os.unlink(breaker)
+                        except OSError:
+                            pass
                     continue
             if time.monotonic() > deadline:
                 raise CommitConflictError(
