@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cdc.io.log import stream_log
 from cdc.pipeline import apply_batch
@@ -103,6 +104,52 @@ def stream_to_table(
     w = (src.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint)
          .outputMode("update"))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    q = w.start()
+    if await_termination and available_now:
+        q.awaitTermination()
+    return q
+
+
+def stream_windowed_metrics(
+    spark: SparkSession,
+    log_dir: str,
+    out_dir: str,
+    registry: SchemaRegistry | None = None,
+    checkpoint_dir: str | None = None,
+    width: str = "1 minute",
+    watermark: str = DEFAULT_WATERMARK,
+    key: str = "repo",
+    available_now: bool = True,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
+    await_termination: bool = True,
+):
+    """T1+T2 live metrics sink: tumbling event-time counts streamed to a
+    parquet metrics table alongside the main table sink.
+
+    Append output mode + watermark means a window row is emitted exactly
+    ONCE, when the watermark passes its end — the metrics table is
+    append-only finalized facts, and state is bounded by (watermark /
+    width) windows per key. Late rows beyond the watermark are dropped
+    from the METRICS only; the table sink applies them regardless (LSN
+    order wins over event time — SURVEY.md §2.B T1)."""
+    from cdc.stream.metrics import tumbling_counts
+
+    registry = registry or default_registry()
+    src = stream_log(spark, log_dir, registry, max_files_per_trigger)
+    agg = tumbling_counts(src.withWatermark("ts", watermark), width=width, key=key)
+    out = agg.select(
+        F.col("win.start").alias("w_start"), F.col("win.end").alias("w_end"),
+        key, "n_events", "lsn_high")
+    checkpoint = checkpoint_dir or os.path.join(out_dir, "_checkpoints")
+    w = (out.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append"))
     if available_now:
         w = w.trigger(availableNow=True)
     elif processing_time:

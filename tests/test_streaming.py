@@ -108,3 +108,35 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     n_distinct = raw.dropDuplicates(["batch_id", "lsn"]).count()
     assert n_distinct < n_raw  # generator injects ~2% duplicates
     assert sum(seen) == n_distinct
+
+
+def test_stream_windowed_metrics_finalized_windows_match_batch(spark, log_dir, tmp_path):
+    """T1+T2 metrics sink: append-mode windows the watermark has finalized
+    must equal the batch tumbling aggregation for the same windows, each
+    emitted exactly once."""
+    import datetime
+    from cdc.io.log import read_log
+    from cdc.schema.registry import default_registry
+    from cdc.stream.pipeline import stream_windowed_metrics
+
+    out = str(tmp_path / "winmetrics")
+    stream_windowed_metrics(spark, log_dir, out, width="1 minute",
+                            watermark="10 minutes", max_files_per_trigger=4)
+    got = spark.read.parquet(out)
+    rows = {(r.w_start, r.repo): (r.n_events, r.lsn_high) for r in got.collect()}
+    assert len(rows) == got.count()  # exactly-once per (window, key)
+    assert rows, "no finalized windows emitted"
+
+    ev = read_log(spark, log_dir, default_registry())
+    batch = tumbling_counts(ev, width="1 minute")
+    exp = {(r["win"]["start"], r.repo): (r.n_events, r.lsn_high)
+           for r in batch.collect()}
+    # every emitted (finalized) window matches the batch aggregate exactly
+    for k, v in rows.items():
+        assert exp[k] == v, k
+    # and only windows older than max_ts - watermark can be missing
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(minutes=10)
+    for (ws, repo), v in exp.items():
+        if ws + datetime.timedelta(minutes=1) < horizon:
+            assert (ws, repo) in rows, (ws, repo)
