@@ -340,3 +340,40 @@ def test_executor_side_stats_match_footer_stats(spark, tmp_path):
                                footer[0]["columns"], "base"),
         key=lambda e: e["path"])
     assert via_spark == footer
+
+
+def test_full_tail_then_grouped_resume_prunes_and_applies(spark, tmp_path):
+    """Switching a table filled by a FULL-TAIL commit to grouped replay:
+    the lsn high-water prune kicks in (O(remaining)) and only the new
+    batches commit — no re-commit of already-applied history."""
+    import datetime
+    from cdc.pipeline import replay
+    from cdc.table.table import CdcTable
+
+    cols = ("lsn", "ts", "op", "repo", "path", "commit", "lang", "content",
+            "schema_version", "batch_id", "size_bytes", "score")
+    ddl = ("lsn long, ts timestamp, op string, repo string, path string, "
+           "commit string, lang string, content string, schema_version int, "
+           "batch_id long, size_bytes long, score double")
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def rows(rws):
+        return spark.createDataFrame(rws, ddl).select(*cols)
+
+    log_dir = tmp_path / "log" / "v=3"
+    log_dir.mkdir(parents=True)
+    rows([(1, t0, "I", "r", "a.py", "c", "python", "A", 3, 0, 1, 0.0),
+          (2, t0, "I", "r", "b.py", "c", "python", "B", 3, 0, 1, 0.0)],
+         ).coalesce(1).write.mode("append").parquet(str(log_dir))
+    table = CdcTable(str(tmp_path / "t"), n_partitions=2)
+    r1 = replay(spark, str(tmp_path / "log"), table)  # full tail
+    assert r1.n_commits == 1 and table.lsn_high() == 2
+
+    rows([(3, t0, "U", "r", "a.py", "c", "python", "A2", 3, 1, 2, 0.0)],
+         ).coalesce(1).write.mode("append").parquet(str(log_dir))
+    r2 = replay(spark, str(tmp_path / "log"), table, batches_per_commit=1)
+    # exactly one NEW group commit; history neither re-read into a group
+    # nor re-committed
+    assert r2.n_commits == 1 and r2.batch_keys == ["grp-00000001-00000001"]
+    state = {r["path"]: r["_lsn"] for r in table.read(spark).collect()}
+    assert state == {"a.py": 3, "b.py": 2}
