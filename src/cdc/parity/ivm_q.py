@@ -1,0 +1,87 @@
+"""Parity query for incremental view maintenance (cdc.ivm).
+
+The Spark side maintains a per-event-type materialized aggregate through
+three successive transactional commits — initial load + two delta-rule
+refreshes driven by the pre/post-image change feed — and returns the final
+MV rows. The DuckDB oracle recomputes the same aggregate from scratch over
+the final LWW state: refresh-by-delta must equal recompute exactly
+(decimal arithmetic, so no float-order tolerance is needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc.parity.common import load
+from cdc.parity.udf_q import _scratch
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+@q("ivm_incremental_agg", """
+WITH ev AS (
+  SELECT user_id, event_type,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS content
+  FROM events
+),
+state AS (
+  SELECT user_id, event_type, content FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY lsn DESC) AS rn
+    FROM ev) WHERE rn = 1 AND op <> 'D'
+)
+SELECT event_type AS path,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(content AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_val
+FROM state GROUP BY event_type
+""")
+def ivm_incremental_agg(spark, sf_dir):
+    """Delta-rule IVM vs full recompute (cdc/ivm.py): the events log lands
+    as three commits into a key_hash base table; after each commit
+    ``ivm.refresh`` folds the pruned change feed's signed deltas into the
+    MV table (its ledger key doubling as the refresh checkpoint). The MV's
+    final live rows must equal the oracle's from-scratch GROUP BY over the
+    final LWW state — including groups deleted on the way ('error' keys
+    always end tombstoned, so that group must be absent)."""
+    from cdc.ivm import refresh
+    from cdc.pipeline import apply_batch
+    from cdc.table.table import CdcTable
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.col("event_type").alias("path"),
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("content"),
+        (F.col("event_id") / 1000).cast("long").alias("batch_id"))
+
+    work = _scratch("cdc_ivm_q")
+    base = CdcTable(f"{work}/base", n_partitions=8, layout="key_hash")
+    mv = CdcTable(f"{work}/mv", key_cols=("path",), n_partitions=4,
+                  layout="key_hash")
+    measures = {"sum_val": F.col("content").cast("decimal(18,2)")}
+    # cutoffs assume sf0.01 (10k events); at sf0.001 the later slices are
+    # empty and their commits/refreshes no-op — parity still holds.
+    for i, cond in enumerate((F.col("lsn") < 3300,
+                              (F.col("lsn") >= 3300) & (F.col("lsn") < 6600),
+                              F.col("lsn") >= 6600)):
+        apply_batch(spark, base, ev.filter(cond), f"b{i}",
+                    normalize=False, metrics=False)
+        refresh(spark, base, mv, measures)
+
+    out = mv.read(spark)
+    return out.select("path", "cnt",
+                      F.col("sum_val").cast("decimal(38,2)").alias("sum_val"))

@@ -98,8 +98,27 @@ def snapshot_diff(spark: SparkSession, table: CdcTable,
     return added.unionByName(removed)
 
 
+def changed_parts(table: CdcTable, from_id: int, to_id: int) -> list[int]:
+    """Partitions whose manifest file set differs between two snapshots.
+    Data files are immutable and every commit swaps whole per-partition
+    file sets, so a partition with an identical file list in both
+    snapshots provably holds identical rows — the change-feed join skips
+    it entirely (metadata-only pruning, no data read)."""
+    from cdc.meta import store
+
+    by_part: list[dict[int, set[str]]] = []
+    for sid in (from_id, to_id):
+        snap = store.read_snapshot(table.root, sid)
+        m: dict[int, set[str]] = {}
+        for f in snap["files"]:
+            m.setdefault(int(f["part"]), set()).add(f["path"])
+        by_part.append(m)
+    fa, fb = by_part
+    return sorted(p for p in set(fa) | set(fb) if fa.get(p) != fb.get(p))
+
+
 def change_feed(spark: SparkSession, table: CdcTable,
-                from_id: int, to_id: int) -> DataFrame:
+                from_id: int, to_id: int, images: str = "post") -> DataFrame:
     """Change-data-feed read (the Delta/Iceberg 'read changes' surface):
     row-level changes between two committed snapshots, classified as
     insert / update / delete per key.
@@ -108,10 +127,27 @@ def change_feed(spark: SparkSession, table: CdcTable,
     snapshot reads on the key columns, compared by ``_content_sha256`` —
     no log access needed, so the feed works even after the source log is
     truncated. Emits the POST-image for insert/update and the key for
-    delete, plus ``_change_type`` and the (from, to) snapshot ids."""
+    delete, plus ``_change_type`` and the (from, to) snapshot ids.
+
+    ``images='both'`` emits Delta-style retraction pairs instead: an
+    update produces ``update_preimage`` + ``update_postimage`` rows and a
+    delete carries the full pre-image values — the shape incremental view
+    maintenance (cdc.ivm) consumes. Same single full-outer join; the 1->2
+    fan-out for updates is one explode over an inline 2-element array, not
+    a second pass.
+
+    Scale: both snapshot reads are pruned to ``changed_parts`` — partitions
+    whose manifest file set is identical in the two snapshots cannot differ
+    (files are immutable), so the join cost is O(churned partitions), not
+    O(table)."""
+    if images not in ("post", "both"):
+        raise ValueError(f"images must be 'post' or 'both', got {images!r}")
     keys = list(table.key_cols)
-    a = table.read(spark, snapshot_id=from_id)
-    b = table.read(spark, snapshot_id=to_id)
+    parts = changed_parts(table, from_id, to_id)
+    a = table.read(spark, parts=parts, snapshot_id=from_id)
+    b = table.read(spark, parts=parts, snapshot_id=to_id)
+    if images == "both":
+        return _change_feed_images(a, b, keys, from_id, to_id)
     # presence is tracked with explicit join-side markers, NOT sha
     # null-ness: a live row may legitimately carry NULL content (sha NULL),
     # and NULL<->value content transitions must classify as updates — so
@@ -134,3 +170,42 @@ def change_feed(spark: SparkSession, table: CdcTable,
                     "_change_type",
                     F.lit(from_id).alias("_from_snapshot"),
                     F.lit(to_id).alias("_to_snapshot")))
+
+
+def _change_feed_images(a: DataFrame, b: DataFrame, keys: list[str],
+                        from_id: int, to_id: int) -> DataFrame:
+    """images='both' body: each joined key row carries both full images as
+    structs; a per-row array of (kind, image) entries is exploded, so an
+    update fans out to its retraction pair without re-joining. Old-snapshot
+    columns missing from the new schema read as NULL (same
+    allowMissingColumns stance as the snapshot read path)."""
+    asel, bsel = a.drop(PART_COL), b.drop(PART_COL)
+    val_cols = [c for c in bsel.columns if c not in keys]
+    a_have = set(asel.columns)
+    b_types = {f.name: f.dataType for f in bsel.schema.fields}
+    a_img = F.struct(*[
+        (F.col(c) if c in a_have else F.lit(None).cast(b_types[c])).alias(c)
+        for c in val_cols])
+    bn = bsel.select(*keys, F.struct(*[F.col(c) for c in val_cols]).alias("_img_b"),
+                     F.lit(True).alias("_in_b"))
+    an = asel.select(*keys, a_img.alias("_img_a"), F.lit(True).alias("_in_a"))
+    j = bn.join(an, keys, "full_outer")
+    sha_a = F.col("_img_a._content_sha256")
+    sha_b = F.col("_img_b._content_sha256")
+
+    def entry(kind: str, image):
+        return F.struct(F.lit(kind).alias("kind"), image.alias("img"))
+
+    entries = (
+        F.when(F.col("_in_a").isNull(), F.array(entry("insert", F.col("_img_b"))))
+        .when(F.col("_in_b").isNull(), F.array(entry("delete", F.col("_img_a"))))
+        .when(~sha_a.eqNullSafe(sha_b),
+              F.array(entry("update_preimage", F.col("_img_a")),
+                      entry("update_postimage", F.col("_img_b")))))
+    # unchanged keys fall through to NULL; explode(NULL) emits no rows, so
+    # no explicit empty-array branch (whose nested cast DDL would be brittle)
+    e = j.select(*keys, F.explode(entries).alias("_e"))
+    return e.select(*keys, "_e.img.*",
+                    F.col("_e.kind").alias("_change_type"),
+                    F.lit(from_id).alias("_from_snapshot"),
+                    F.lit(to_id).alias("_to_snapshot"))
