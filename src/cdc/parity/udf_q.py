@@ -200,6 +200,49 @@ def cdc_replay_full(spark, sf_dir):
     return table.read(spark).select("repo", "path", "_lsn", "_content_sha256")
 
 
+@q("lookup_point_reads", """
+WITH ev AS (
+  SELECT user_id,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         concat(event_type, ':', CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)) AS content
+  FROM events
+),
+state AS (
+  SELECT user_id, content FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn
+    FROM ev) WHERE rn = 1 AND op <> 'D'
+)
+SELECT user_id, content FROM state WHERE user_id BETWEEN 1 AND 40
+""")
+def lookup_point_reads(spark, sf_dir):
+    """Index-free point reads (CdcTable.lookup_keys): the events log lands
+    as one commit into a key_hash table; a 40-key probe reads ONLY the
+    partitions the key-hash maps those keys to (manifest pruning bounded
+    by P, never by table size) and parquet skips row groups via the
+    sorted-key stats + per-key bloom filters. Oracle = plain WHERE over
+    the recomputed LWW state."""
+    from cdc.pipeline import apply_batch
+    from cdc.table.table import CdcTable
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("state").alias("path"),
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.concat(F.col("event_type"), F.lit(":"),
+                 F.col("value").cast("decimal(18,2)").cast("string")).alias("content"),
+        (F.col("event_id") / 1000).cast("long").alias("batch_id"))
+    work = _scratch("cdc_lookup_q")
+    table = CdcTable(work, n_partitions=16, layout="key_hash")
+    apply_batch(spark, table, ev, "b0", normalize=False, metrics=False)
+    probes = spark.range(1, 41).select(
+        F.col("id").cast("string").alias("repo"), F.lit("state").alias("path"))
+    got = table.lookup_keys(spark, probes)
+    return got.select(F.col("repo").cast("long").alias("user_id"), "content")
+
+
 @q("cdf_snapshot_diff", """
 WITH ev AS (
   SELECT user_id,

@@ -179,6 +179,48 @@ class CdcTable:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df.withColumn(PART_COL, self.part_of())
 
+    def lookup(self, spark: SparkSession, **key) -> DataFrame | None:
+        """Index-free point read: the partition function is a pure function
+        of the key, so exactly one partition's files are scanned (manifest
+        pruning — Spark never lists the rest); inside them, the key filter
+        pushes to parquet and row groups are skipped via the sorted-key
+        min/max stats (O2 write ordering) and the per-key-column bloom
+        filters written by ``_write_data``. At 100 TB a lookup touches
+        O(table/P) bytes of metadata and O(matching row groups) of data.
+
+        ``key`` must bind every key column: ``table.lookup(spark,
+        repo='r1', path='a')``. None when the table is empty."""
+        missing = [c for c in self.key_cols if c not in key]
+        extra = [c for c in key if c not in self.key_cols]
+        if missing or extra:
+            raise ValueError(f"lookup needs exactly the key columns "
+                             f"{self.key_cols}; missing={missing} extra={extra}")
+        # evaluate the partition function with Spark's own hash on a local
+        # 1-row relation (no files touched; constant-folds to one task)
+        probe = spark.range(1).select(
+            *[F.lit(key[c]).alias(c) for c in self.key_cols])
+        part = probe.select(self.part_of().alias("p")).first()["p"]
+        df = self.read(spark, parts=[part])
+        if df is None:
+            return None
+        for c in self.key_cols:
+            df = df.filter(F.col(c) == F.lit(key[c]))
+        return df
+
+    def lookup_keys(self, spark: SparkSession, keys_df: DataFrame) -> DataFrame | None:
+        """Batch point read: probe many keys at once. The probe set's
+        partition ids are collected first — bounded by ``n_partitions``
+        regardless of probe size (pmod range), never by the keys — and the
+        table read is manifest-pruned to those; a left-semi join keeps the
+        probed keys (AQE broadcasts the probe side when it is small)."""
+        probe = keys_df.select(*self.key_cols)
+        parts = sorted(r["p"] for r in
+                       probe.select(self.part_of().alias("p")).distinct().collect())
+        df = self.read(spark, parts=parts)
+        if df is None:
+            return None
+        return df.join(probe.distinct(), list(self.key_cols), "left_semi")
+
     # -- write path (S6) -------------------------------------------------------
     def _write_data(self, df: DataFrame, snapshot_id: int,
                     kind: str = "base") -> tuple[list[dict], str]:
@@ -189,6 +231,16 @@ class CdcTable:
         rows sorted by key within files for read locality (O2)."""
         rel_dir = f"data/snap-{snapshot_id:012d}"
         out_dir = os.path.join(self.root, rel_dir)
+        # per-key-column parquet bloom filters: point lookups (``lookup``)
+        # skip row groups whose sorted-key min/max straddles the probe but
+        # whose bloom filter rules it out — cheap at write time, O(row
+        # groups hit) instead of O(partition) at read time.
+        bloom = {f"parquet.bloom.filter.enabled#{c}": "true"
+                 for c in self.key_cols}
+        # cap the per-column filter at 128 KiB/row-group (default is 1 MiB):
+        # a higher false-positive rate only costs a wasted row-group read on
+        # some lookups, while the write amplification is paid on every commit
+        bloom["parquet.bloom.filter.max.bytes"] = str(128 * 1024)
         if self.layout == "key_hash":
             # the upstream LWW/merge stages already hash-cluster rows by the
             # key columns, and part = pmod(hash(key), P) is a pure function
@@ -199,14 +251,16 @@ class CdcTable:
             # still CORRECT — partitionBy splits per task — just writes
             # more, smaller files.)
             (df.sortWithinPartitions(*self.key_cols)
-               .write.mode("overwrite").partitionBy(PART_COL).parquet(out_dir))
+               .write.mode("overwrite").options(**bloom)
+               .partitionBy(PART_COL).parquet(out_dir))
         else:
             data = df.withColumn("_fg", F.pmod(F.xxhash64(F.col(self.key_cols[-1])),
                                                F.lit(self.files_per_partition)).cast("int"))
             (data.repartition(self.n_partitions * self.files_per_partition, PART_COL, "_fg")
                  .drop("_fg")
                  .sortWithinPartitions(*self.key_cols)
-                 .write.mode("overwrite").partitionBy(PART_COL).parquet(out_dir))
+                 .write.mode("overwrite").options(**bloom)
+                 .partitionBy(PART_COL).parquet(out_dir))
 
         # per-file row counts + lsn bounds straight from the parquet footers
         # (metadata-only reads, no second Spark job — parquet tracks column
