@@ -159,3 +159,9 @@ def test_changed_parts_prunes_untouched_partitions(spark, tmp_path):
     feed = change_feed(spark, base, 1, 2, images="both")
     assert {(r.repo, r._change_type) for r in feed.collect()} == {
         ("repo7", "update_preimage"), ("repo7", "update_postimage")}
+    # plan pin: the feed SCANS only churned partitions' files — untouched
+    # partitions never reach Spark (manifest-level pruning, not a filter)
+    scanned = {d for f in feed.inputFiles()
+               for d in [f.rsplit("/", 2)[-2]] if d.startswith("part=")}
+    assert scanned <= {f"part={p}" for p in parts}
+    assert len(scanned) <= 2 * len(parts)
