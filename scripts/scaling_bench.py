@@ -83,7 +83,11 @@ def main() -> None:
     ap.add_argument("--keys", type=int, default=300_000)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--work", default=None)
+    ap.add_argument("--configs", default="2,8,32",
+                    help="comma list of core counts; BENCH.md is only "
+                         "rewritten by a full 2,8,32 run")
     args = ap.parse_args()
+    cores_list = tuple(int(c) for c in args.configs.split(","))
 
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     from make_dist import build
@@ -111,7 +115,7 @@ def main() -> None:
 
     results = {}
     try:
-        for cores in CORES:
+        for cores in cores_list:
             results[cores] = spark_submit(
                 cores, zip_path, log_dir,
                 os.path.join(work, f"table-{cores}"), args.reps)
@@ -121,6 +125,11 @@ def main() -> None:
 
     def eff(n: int, n4: int) -> float:
         return round((results[n]["steady_sec"] / results[n4]["steady_sec"]) / 4.0, 3)
+
+    if set(cores_list) != set(CORES):
+        # partial (A/B) run: report raw numbers only, leave BENCH.md alone
+        print(json.dumps({str(c): results[c] for c in cores_list}))
+        return
 
     e28, e832 = eff(2, 8), eff(8, 32)
     summary = {

@@ -79,6 +79,14 @@ def synced_snapshot_id(mv: CdcTable) -> int:
     return hi
 
 
+def maintainer(mv: CdcTable, measures: Mapping[str, Column]):
+    """Adapter for ``stream_to_table(downstream=[...])``: refresh ``mv``
+    after every ingest epoch (no-op when already current)."""
+    def _refresh(spark: SparkSession, base: CdcTable):
+        return refresh(spark, base, mv, measures)
+    return _refresh
+
+
 def refresh(spark: SparkSession, base: CdcTable, mv: CdcTable,
             measures: Mapping[str, Column]) -> dict | None:
     """Bring ``mv`` up to date with ``base``'s current snapshot. Returns

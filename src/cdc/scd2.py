@@ -64,6 +64,14 @@ def _value_cols(base_snap: dict, keys: tuple) -> list[str]:
             if f.name not in keys and not f.name.startswith("_")]
 
 
+def maintainer(hist: CdcTable):
+    """Adapter for ``stream_to_table(downstream=[...])``: advance the
+    history after every ingest epoch (no-op when already current)."""
+    def _refresh(spark: SparkSession, base: CdcTable):
+        return refresh_history(spark, base, hist)
+    return _refresh
+
+
 def refresh_history(spark: SparkSession, base: CdcTable,
                     hist: CdcTable) -> dict | None:
     """Advance ``hist`` to cover base's current snapshot. Returns the new

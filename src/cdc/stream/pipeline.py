@@ -73,6 +73,7 @@ def stream_to_table(
     lww_via: str = "maxby",
     metrics: bool = False,
     await_termination: bool = True,
+    downstream=(),
 ):
     """S7/T7 — exactly-once streaming sink via foreachBatch + commit ledger.
 
@@ -80,6 +81,14 @@ def stream_to_table(
     otherwise a live tail with ``processing_time`` triggers. Returns the
     StreamingQuery (already finished when await_termination and
     available_now).
+
+    ``downstream`` — callables ``(spark, table) -> Any`` invoked after
+    every epoch, e.g. ``cdc.ivm.maintainer(mv, measures)`` or
+    ``cdc.scd2.maintainer(hist)``: derived tables then advance in
+    lock-step with the ingest. They run even for re-delivered epochs —
+    each maintainer checkpoints on the BASE snapshot id in its own commit
+    ledger, so a crash between the table commit and a refresh heals on
+    restart, and an already-current refresh is a no-op.
     """
     src = stream_events(spark, log_dir, registry, watermark, max_files_per_trigger)
     checkpoint = checkpoint_dir or os.path.join(table.root, "_checkpoints", "tail")
@@ -97,9 +106,11 @@ def stream_to_table(
             # micro-batch to be consumed (Spark validates state-store
             # commits per epoch) — drain it with a noop sink.
             batch_df.write.format("noop").mode("overwrite").save()
-            return
-        apply_batch(spark, table, batch_df, key,
-                    normalize=normalize, lww_via=lww_via, metrics=metrics)
+        else:
+            apply_batch(spark, table, batch_df, key,
+                        normalize=normalize, lww_via=lww_via, metrics=metrics)
+        for fn in downstream:
+            fn(spark, table)
 
     w = (src.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint)

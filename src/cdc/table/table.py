@@ -52,7 +52,7 @@ class CdcTable:
 
     def __init__(self, root: str, key_cols: Sequence[str] = ("repo", "path"),
                  n_partitions: int = 16, files_per_partition: int = 1,
-                 layout: str = "repo_hash"):
+                 layout: str = "repo_hash", bloom_filters: bool | None = None):
         """``layout``:
         - 'repo_hash' — part = pmod(xxhash64(repo), P): partition pruning
           by repo; the committer repartitions on (part, file_group).
@@ -70,6 +70,10 @@ class CdcTable:
         if layout not in ("repo_hash", "key_hash"):
             raise ValueError(f"unknown layout {layout!r}")
         self.layout = layout
+        if bloom_filters is None:
+            # env override so spark-submit jobs can A/B without code changes
+            bloom_filters = os.environ.get("CDC_BLOOM_FILTERS", "1") != "0"
+        self.bloom_filters = bloom_filters
 
     def part_of(self):
         """This table's partition Column (a pure function of the key)."""
@@ -235,12 +239,14 @@ class CdcTable:
         # skip row groups whose sorted-key min/max straddles the probe but
         # whose bloom filter rules it out — cheap at write time, O(row
         # groups hit) instead of O(partition) at read time.
-        bloom = {f"parquet.bloom.filter.enabled#{c}": "true"
-                 for c in self.key_cols}
-        # cap the per-column filter at 128 KiB/row-group (default is 1 MiB):
-        # a higher false-positive rate only costs a wasted row-group read on
-        # some lookups, while the write amplification is paid on every commit
-        bloom["parquet.bloom.filter.max.bytes"] = str(128 * 1024)
+        bloom = {}
+        if self.bloom_filters:
+            bloom = {f"parquet.bloom.filter.enabled#{c}": "true"
+                     for c in self.key_cols}
+            # cap the per-column filter at 128 KiB/row-group (default 1 MiB):
+            # a higher false-positive rate only costs a wasted row-group read
+            # on some lookups, while write amplification is paid every commit
+            bloom["parquet.bloom.filter.max.bytes"] = str(128 * 1024)
         if self.layout == "key_hash":
             # the upstream LWW/merge stages already hash-cluster rows by the
             # key columns, and part = pmod(hash(key), P) is a pure function

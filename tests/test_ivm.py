@@ -165,3 +165,29 @@ def test_changed_parts_prunes_untouched_partitions(spark, tmp_path):
                for d in [f.rsplit("/", 2)[-2]] if d.startswith("part=")}
     assert scanned <= {f"part={p}" for p in parts}
     assert len(scanned) <= 2 * len(parts)
+
+
+def test_images_feed_across_schema_evolution(spark, tmp_path):
+    """A column added between the two snapshots: pre-images read under the
+    old schema surface NULL for it (same allowMissingColumns stance as the
+    snapshot read path), and the retraction pair still forms."""
+    base = CdcTable(str(tmp_path / "b"), n_partitions=2, layout="key_hash")
+    from cdc.pipeline import apply_batch
+    v1 = spark.createDataFrame([("r1", "a", 1, "old", "U")],
+                               "repo string, path string, lsn long, "
+                               "content string, op string") \
+        .select("*", F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+                F.lit(0).alias("batch_id"))
+    apply_batch(spark, base, v1, "b0", normalize=False, metrics=False)
+    v2 = spark.createDataFrame([("r1", "a", 10, "new", "U", "py")],
+                               "repo string, path string, lsn long, "
+                               "content string, op string, lang string") \
+        .select("*", F.to_timestamp(F.lit("2026-01-02 00:00:00")).alias("ts"),
+                F.lit(1).alias("batch_id"))
+    apply_batch(spark, base, v2, "b1", normalize=False, metrics=False)
+    feed = change_feed(spark, base, 1, 2, images="both")
+    rows = {r._change_type: r for r in feed.collect()}
+    assert set(rows) == {"update_preimage", "update_postimage"}
+    assert rows["update_preimage"].content == "old"
+    assert rows["update_preimage"].lang is None
+    assert rows["update_postimage"].lang == "py"

@@ -140,3 +140,44 @@ def test_stream_windowed_metrics_finalized_windows_match_batch(spark, log_dir, t
     for (ws, repo), v in exp.items():
         if ws + datetime.timedelta(minutes=1) < horizon:
             assert (ws, repo) in rows, (ws, repo)
+
+
+def test_stream_with_downstream_maintainers(spark, log_dir, tmp_path):
+    """Derived tables (IVM aggregate + SCD2 history) advance in lock-step
+    with the streaming ingest via the downstream hook, stay consistent
+    with a from-scratch recompute, and survive a restart untouched."""
+    from cdc import ivm, scd2
+
+    table = CdcTable(str(tmp_path / "t3"), n_partitions=4, layout="key_hash")
+    mv = CdcTable(str(tmp_path / "mv"), key_cols=("repo",), n_partitions=4,
+                  layout="key_hash")
+    hist = scd2.history_table(str(tmp_path / "hist"), table)
+    measures = {"sum_len": F.length("content").cast("long")}
+    stream_to_table(spark, log_dir, table, metrics=False,
+                    max_files_per_trigger=4,
+                    downstream=[ivm.maintainer(mv, measures),
+                                scd2.maintainer(hist)])
+    assert len(table.snapshots()) > 1, "expected multiple epochs"
+    # the MV covers the final base snapshot and matches recompute
+    assert ivm.synced_snapshot_id(mv) == table.current_snapshot()["snapshot_id"]
+    got = {(r.repo, r.cnt, r.sum_len) for r in
+           mv.read(spark).select("repo", "cnt", "sum_len").collect()}
+    want = {(r.repo, r.cnt, r.sum_len) for r in
+            ivm.full_aggregate(table.read(spark), ["repo"], measures).collect()}
+    assert got == want
+    # history's open versions mirror the live state
+    live = {(r.repo, r.path, r._lsn) for r in
+            table.read(spark).select("repo", "path", "_lsn").collect()}
+    cur = {(r.repo, r.path, r.row_lsn) for r in
+           scd2.current_versions(spark, hist)
+           .select("repo", "path", "row_lsn").collect()}
+    assert cur == live
+    # restart: no new base epochs -> maintainers are no-ops too
+    mv_snap = mv.current_snapshot()["snapshot_id"]
+    hist_snap = hist.current_snapshot()["snapshot_id"]
+    stream_to_table(spark, log_dir, table, metrics=False,
+                    max_files_per_trigger=4,
+                    downstream=[ivm.maintainer(mv, measures),
+                                scd2.maintainer(hist)])
+    assert mv.current_snapshot()["snapshot_id"] == mv_snap
+    assert hist.current_snapshot()["snapshot_id"] == hist_snap
