@@ -123,8 +123,45 @@ def current_snapshot_id(root: str) -> int:
     return int(name.removeprefix("snap-").removesuffix(".json"))
 
 
+def next_snapshot_id(root: str) -> int:
+    """Allocate the next snapshot id: one past the HIGHEST snapshot file
+    present — not parent+1. Staged write-audit-publish snapshots hold ids
+    without being current, so parent+1 would let the next main-line commit
+    collide with a staged snapshot's metadata file and (worse) its
+    deterministic ``data/snap-<sid>`` staging directory. A crashed commit
+    (data staged, no metadata written) still re-allocates the same id on
+    retry, preserving the overwrite-not-duplicate staging contract."""
+    d = meta_dir(root)
+    mx = 0
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.startswith("snap-") and name.endswith(".json"):
+                sid = name[len("snap-"):-len(".json")]
+                if sid.isdigit():
+                    mx = max(mx, int(sid))
+    return mx + 1
+
+
+def read_ref(root: str, ref: str) -> dict[str, Any] | None:
+    """Resolve a named ref pointer (e.g. a staged WAP snapshot), or None."""
+    ptr = os.path.join(meta_dir(root), _ref_name(ref))
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return read_snapshot_file(os.path.join(meta_dir(root), f.read().strip()))
+
+
+def _ref_name(ref: str) -> str:
+    if ref == CURRENT:
+        return CURRENT
+    if not ref or "/" in ref or os.sep in ref or ref.startswith("_"):
+        raise ValueError(f"bad ref name {ref!r}")
+    return f"_ref-{ref}"
+
+
 def write_snapshot(root: str, snap: dict[str, Any],
-                   expected_parent: int | None = None) -> None:
+                   expected_parent: int | None = None,
+                   ref: str = CURRENT) -> None:
     """Steps (2)+(3): durable metadata, then atomic pointer swap.
 
     ``expected_parent`` enables compare-and-swap commits: the pointer is
@@ -139,7 +176,13 @@ def write_snapshot(root: str, snap: dict[str, Any],
     to the parent's are referenced, NOT rewritten (commit metadata cost =
     O(touched partitions)). Manifests are fsynced before the snapshot JSON,
     which is fsynced before the pointer swap — a crash anywhere leaves only
-    invisible orphan files."""
+    invisible orphan files.
+
+    ``ref`` — pointer file to advance. The default publishes to
+    ``_current``; a named ref (write-audit-publish staging) records the
+    snapshot without making it the table's visible state. The CAS check
+    always runs against ``_current``: a staged commit's parent basis is
+    the main line it was computed from."""
     os.makedirs(meta_dir(root), exist_ok=True)
     snap = dict(snap)
     # The lock brackets the WHOLE metadata write, not just the pointer
@@ -154,14 +197,69 @@ def write_snapshot(root: str, snap: dict[str, Any],
                 raise CommitConflictError(
                     f"table advanced to snapshot {cur} (expected parent "
                     f"{expected_parent}) — re-read state and retry")
-        _write_snapshot_locked(root, snap)
+        _write_snapshot_locked(root, snap, ref=ref)
     finally:
-        lock = os.path.join(meta_dir(root), "_commit.lock")
-        os.close(fd)
-        try:
-            os.unlink(lock)
-        except OSError:  # a staleness breaker removed it mid-write
-            pass
+        _release_commit_lock(root, fd)
+
+
+def _release_commit_lock(root: str, fd: int) -> None:
+    lock = os.path.join(meta_dir(root), "_commit.lock")
+    os.close(fd)
+    try:
+        os.unlink(lock)
+    except OSError:  # a staleness breaker removed it mid-write
+        pass
+
+
+def publish_ref(root: str, ref: str) -> dict[str, Any]:
+    """Write-audit-PUBLISH: atomically advance ``_current`` to the snapshot
+    a named ref points at, iff the table is still at that snapshot's parent
+    (the CAS that makes a stale audit unpublishable). Consumes the ref."""
+    fd = _acquire_commit_lock(root)
+    try:
+        ptr = os.path.join(meta_dir(root), _ref_name(ref))
+        if not os.path.exists(ptr):
+            raise ValueError(f"no staged snapshot under ref {ref!r}")
+        with open(ptr) as f:
+            name = f.read().strip()
+        snap = read_snapshot_file(os.path.join(meta_dir(root), name))
+        cur = current_snapshot_id(root)
+        if cur != snap["parent_id"]:
+            raise CommitConflictError(
+                f"table advanced to snapshot {cur} since ref {ref!r} was "
+                f"staged on parent {snap['parent_id']} — restage on fresh "
+                f"state")
+        _swap_pointer(root, name, CURRENT)
+        os.unlink(ptr)
+        return snap
+    finally:
+        _release_commit_lock(root, fd)
+
+
+def drop_ref(root: str, ref: str, delete_snapshot: bool = True) -> bool:
+    """Abandon a staged snapshot: remove the ref pointer and (by default)
+    its metadata file so ``vacuum_orphans`` reclaims the staged data files.
+    Returns False when the ref does not exist."""
+    fd = _acquire_commit_lock(root)
+    try:
+        ptr = os.path.join(meta_dir(root), _ref_name(ref))
+        if not os.path.exists(ptr):
+            return False
+        with open(ptr) as f:
+            name = f.read().strip()
+        os.unlink(ptr)
+        if delete_snapshot:
+            # never drop a published snapshot: publish consumes the ref, so
+            # this name can only be current if the user re-pointed by hand
+            cur = os.path.join(meta_dir(root), CURRENT)
+            if not (os.path.exists(cur) and open(cur).read().strip() == name):
+                try:
+                    os.unlink(os.path.join(meta_dir(root), name))
+                except OSError:
+                    pass
+        return True
+    finally:
+        _release_commit_lock(root, fd)
 
 
 STALE_LOCK_SECONDS = 600.0  # a metadata write must finish inside this —
@@ -214,7 +312,8 @@ def _acquire_commit_lock(root: str, timeout: float = 30.0) -> int:
             time.sleep(0.05)
 
 
-def _write_snapshot_locked(root: str, snap: dict[str, Any]) -> None:
+def _write_snapshot_locked(root: str, snap: dict[str, Any],
+                           ref: str = CURRENT) -> None:
     files = snap.pop("files", None)
     if files is not None and "manifests" not in snap:
         sid = snap["snapshot_id"]
@@ -247,11 +346,14 @@ def _write_snapshot_locked(root: str, snap: dict[str, Any]) -> None:
 
     path = snap_path(root, snap["snapshot_id"])
     _fsync_json(path, snap)
+    _swap_pointer(root, os.path.basename(path), ref)
 
-    ptr = os.path.join(meta_dir(root), CURRENT)
+
+def _swap_pointer(root: str, snap_name: str, ref: str) -> None:
+    ptr = os.path.join(meta_dir(root), _ref_name(ref))
     ptr_tmp = ptr + ".tmp"
     with open(ptr_tmp, "w") as f:
-        f.write(os.path.basename(path))
+        f.write(snap_name)
         f.flush()
         os.fsync(f.fileno())
     os.replace(ptr_tmp, ptr)  # the commit point
@@ -265,12 +367,13 @@ def new_snapshot(
     schema_ddl: str,
     operation: str = "merge",
     committed_ts: str = "",
+    snapshot_id: int | None = None,
 ) -> dict[str, Any]:
     parent_id = parent["snapshot_id"] if parent else 0
     ledger = list(parent["committed_batches"]) if parent else []
     ledger.append(batch_key)
     return {
-        "snapshot_id": parent_id + 1,
+        "snapshot_id": snapshot_id if snapshot_id is not None else parent_id + 1,
         "parent_id": parent_id,
         "batch_key": batch_key,
         "lsn_high": lsn_high,

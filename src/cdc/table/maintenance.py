@@ -44,7 +44,7 @@ def compact(spark: SparkSession, table: CdcTable,
     if files_per_partition is not None:
         table.files_per_partition = files_per_partition
     try:
-        sid = parent["snapshot_id"] + 1
+        sid = store.next_snapshot_id(table.root)
         if table.layout == "key_hash":
             # the key_hash write trusts the incoming clustering; a raw
             # snapshot read has none, so compaction supplies it here —
@@ -61,10 +61,43 @@ def compact(spark: SparkSession, table: CdcTable,
         parent, batch_key=f"compact-{sid:08d}",
         lsn_high=parent["lsn_high"], files=entries, schema_ddl=ddl,
         operation="compact",
-        committed_ts=datetime.now(timezone.utc).isoformat())
+        committed_ts=datetime.now(timezone.utc).isoformat(),
+        snapshot_id=sid)
     # CAS on the parent read at the top: a writer that committed meanwhile
     # must not be clobbered by the compaction (same snapshot-id collision
     # risk as any commit)
+    store.write_snapshot(table.root, snap,
+                         expected_parent=parent["snapshot_id"])
+    return snap
+
+
+def rollback(table: CdcTable, to_snapshot_id: int) -> dict:
+    """Undo commits by restoring an earlier snapshot's LOGICAL state as a
+    new commit (history stays linear and append-only — nothing is deleted,
+    time travel into the undone range keeps working until the snapshots
+    expire). Restores the target's files, schema, lsn high-water mark AND
+    its batch ledger: the undone batch keys leave the ledger, so replaying
+    them applies again instead of short-circuiting as duplicate epochs.
+
+    Metadata-only (no data files move); CAS-guarded like any commit."""
+    parent = table.current_snapshot()
+    if parent is None:
+        raise ValueError("cannot roll back an empty table")
+    if to_snapshot_id == parent["snapshot_id"]:
+        return parent
+    target = store.read_snapshot(table.root, to_snapshot_id)
+    sid = store.next_snapshot_id(table.root)
+    snap = {
+        "snapshot_id": sid,
+        "parent_id": parent["snapshot_id"],
+        "batch_key": f"rollback-{to_snapshot_id:08d}",
+        "lsn_high": target["lsn_high"],
+        "operation": "rollback",
+        "committed_ts": datetime.now(timezone.utc).isoformat(),
+        "schema_ddl": target["schema_ddl"],
+        "committed_batches": list(target["committed_batches"]),
+        "files": [{**f, "origin": "existing"} for f in target["files"]],
+    }
     store.write_snapshot(table.root, snap,
                          expected_parent=parent["snapshot_id"])
     return snap

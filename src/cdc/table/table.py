@@ -356,7 +356,7 @@ class CdcTable:
         return entries
 
     def commit_delta(self, spark: SparkSession, batch_final: DataFrame,
-                     batch_key: str) -> dict:
+                     batch_key: str, ref: str = store.CURRENT) -> dict:
         """Merge-on-read commit (the write-amplification answer at
         10^10-event scale): append ONLY the batch's winner rows (incl.
         tombstones) as a delta layer for the touched partitions — no state
@@ -375,7 +375,7 @@ class CdcTable:
 
         rows = M.batch_to_state_rows(batch_final, keys=self.key_cols)
         rows = rows.withColumn(PART_COL, self.part_of())
-        sid = (parent["snapshot_id"] if parent else 0) + 1
+        sid = store.next_snapshot_id(self.root)
         # one job total: the write; lsn bounds come back from the footers
         entries, ddl = self._write_data(rows, sid, kind="delta")
         lsn_maxes = [e["lsn_max"] for e in entries if e["lsn_max"] >= 0]
@@ -393,12 +393,15 @@ class CdcTable:
             schema_ddl=ddl,
             operation="delta",
             committed_ts=datetime.now(timezone.utc).isoformat(),
+            snapshot_id=sid,
         )
         store.write_snapshot(self.root, snap,
-                             expected_parent=parent["snapshot_id"] if parent else 0)
+                             expected_parent=parent["snapshot_id"] if parent else 0,
+                             ref=ref)
         return snap
 
-    def commit_merge(self, spark: SparkSession, batch_final: DataFrame, batch_key: str) -> dict:
+    def commit_merge(self, spark: SparkSession, batch_final: DataFrame,
+                     batch_key: str, ref: str = store.CURRENT) -> dict:
         """MERGE-apply one LWW-collapsed batch and commit a new snapshot.
 
         Exactly-once: if ``batch_key`` is already in the ledger this is a
@@ -423,7 +426,7 @@ class CdcTable:
         merged = M.merge_apply(state.drop(PART_COL), batch_final, keys=self.key_cols)
         merged = merged.withColumn(PART_COL, self.part_of())
 
-        sid = (parent["snapshot_id"] if parent else 0) + 1
+        sid = store.next_snapshot_id(self.root)
         # single consumer now (file stats come from parquet footers, not a
         # second Spark job) — no cache needed
         entries, ddl = self._write_data(merged, sid)
@@ -441,7 +444,9 @@ class CdcTable:
             schema_ddl=ddl,
             operation="merge",
             committed_ts=datetime.now(timezone.utc).isoformat(),
+            snapshot_id=sid,
         )
         store.write_snapshot(self.root, snap,
-                             expected_parent=parent["snapshot_id"] if parent else 0)
+                             expected_parent=parent["snapshot_id"] if parent else 0,
+                             ref=ref)
         return snap

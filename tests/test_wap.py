@@ -1,0 +1,140 @@
+"""Write-audit-publish staging, snapshot rollback, quality expectations
+(SURVEY.md §4 commit-protocol extensions)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc import quality
+from cdc.meta.store import CommitConflictError
+from cdc.pipeline import apply_batch
+from cdc.table import wap
+from cdc.table.maintenance import rollback, vacuum_orphans
+from cdc.table.table import CdcTable
+
+
+def ev(spark, rows, batch_id=0):
+    """rows: (repo, path, lsn, content, op)"""
+    return (spark.createDataFrame(
+                rows, "repo string, path string, lsn long, "
+                      "content string, op string")
+            .select("*",
+                    F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+                    F.lit(batch_id).alias("batch_id")))
+
+
+def contents(df):
+    return {(r.repo, r.path): r.content for r in
+            df.select("repo", "path", "content").collect()}
+
+
+def test_stage_is_invisible_until_publish(spark, tmp_path):
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", "U"),
+                                     ("r1", "b", 2, "w1", "U")]),
+                "b0", normalize=False, metrics=False)
+    staged_snap = wap.stage(spark, t, ev(spark, [("r1", "a", 5, "v2", "U")]),
+                            "b1")
+    # main line untouched; staged read sees the merge result
+    assert contents(t.read(spark)) == {("r1", "a"): "v1", ("r1", "b"): "w1"}
+    assert not t.is_committed("b1")
+    assert contents(wap.read_staged(spark, t)) == {("r1", "a"): "v2",
+                                                   ("r1", "b"): "w1"}
+    pub = wap.publish(t)
+    assert pub["snapshot_id"] == staged_snap["snapshot_id"]
+    assert wap.staged(t) is None                      # ref consumed
+    assert t.is_committed("b1")
+    assert contents(t.read(spark)) == {("r1", "a"): "v2", ("r1", "b"): "w1"}
+
+
+def test_publish_cas_fails_after_mainline_commit(spark, tmp_path):
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", "U")]),
+                "b0", normalize=False, metrics=False)
+    staged_snap = wap.stage(spark, t, ev(spark, [("r1", "a", 5, "stale", "U")]),
+                            "b1")
+    # a main-line commit lands while the audit runs — distinct snapshot id,
+    # no file collision with the staged snapshot
+    mainline = apply_batch(spark, t, ev(spark, [("r1", "a", 6, "v2", "U")]),
+                           "b2", normalize=False, metrics=False)
+    assert mainline["snapshot_id"] != staged_snap["snapshot_id"]
+    with pytest.raises(CommitConflictError):
+        wap.publish(t)
+    assert contents(t.read(spark)) == {("r1", "a"): "v2"}
+    # abandon + vacuum reclaims the staged files
+    staged_dir = os.path.join(t.root, "data",
+                              f"snap-{staged_snap['snapshot_id']:012d}")
+    assert os.path.isdir(staged_dir)
+    assert wap.abandon(t)
+    removed = vacuum_orphans(t)
+    assert f"snap-{staged_snap['snapshot_id']:012d}" in removed
+    assert not os.path.isdir(staged_dir)
+    assert contents(t.read(spark)) == {("r1", "a"): "v2"}
+
+
+def test_audit_gate_blocks_bad_batch_then_passes_good_one(spark, tmp_path):
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", "U")]),
+                "b0", normalize=False, metrics=False)
+    checks = {"content_not_null": quality.not_null("content"),
+              "lsn_positive": F.col("_lsn") >= 0}
+    wap.stage(spark, t, ev(spark, [("r1", "b", 5, None, "U")]), "bad")
+    with pytest.raises(quality.ExpectationError) as ei:
+        wap.audit_and_publish(spark, t, predicates=checks,
+                              unique=("repo", "path"))
+    assert ei.value.violations == {"content_not_null": 1}
+    assert wap.staged(t) is None                      # abandoned
+    assert contents(t.read(spark)) == {("r1", "a"): "v1"}
+    wap.stage(spark, t, ev(spark, [("r1", "b", 6, "w1", "U")]), "good")
+    wap.audit_and_publish(spark, t, predicates=checks, unique=("repo", "path"))
+    assert contents(t.read(spark)) == {("r1", "a"): "v1", ("r1", "b"): "w1"}
+
+
+def test_rollback_restores_state_schema_and_ledger(spark, tmp_path):
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", "U")]),
+                "b0", normalize=False, metrics=False)
+    keep = t.current_snapshot()["snapshot_id"]
+    apply_batch(spark, t, ev(spark, [("r1", "a", 5, "v2", "U"),
+                                     ("r2", "x", 6, "z1", "U")]),
+                "b1", normalize=False, metrics=False)
+    assert t.is_committed("b1")
+    rb = rollback(t, keep)
+    assert rb["operation"] == "rollback"
+    assert contents(t.read(spark)) == {("r1", "a"): "v1"}
+    assert t.lsn_high() == 1
+    # the undone batch left the ledger -> replaying it APPLIES again
+    assert not t.is_committed("b1")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 5, "v2", "U"),
+                                     ("r2", "x", 6, "z1", "U")]),
+                "b1", normalize=False, metrics=False)
+    assert contents(t.read(spark)) == {("r1", "a"): "v2", ("r2", "x"): "z1"}
+    # history stayed append-only: time travel into the undone range works
+    undone = contents(t.read(spark, snapshot_id=keep + 1))
+    assert undone == {("r1", "a"): "v2", ("r2", "x"): "z1"}
+    # rolling back to the current snapshot is a no-op
+    cur = t.current_snapshot()
+    assert rollback(t, cur["snapshot_id"])["snapshot_id"] == cur["snapshot_id"]
+
+
+def test_quality_check_counts_and_violation_rows(spark):
+    df = spark.createDataFrame(
+        [("r1", "a", 1, "ok"), ("r1", "a", 2, None), ("r2", "b", -3, "ok")],
+        "repo string, path string, lsn long, content string")
+    checks = {"content_not_null": quality.not_null("content"),
+              "lsn_in_range": quality.in_range("lsn", 0, 100),
+              "repo_known": quality.one_of("repo", ["r1", "r2"])}
+    counts = quality.check(df, checks, unique=("repo", "path"))
+    assert counts == {"content_not_null": 1, "lsn_in_range": 1,
+                      "repo_known": 0, "unique(repo,path)": 1}
+    bad = {tuple(r._failed_checks) for r in
+           quality.violations(df, checks).collect()}
+    assert bad == {("content_not_null",), ("lsn_in_range",)}
+    # empty frame -> zero violations, enforce passes
+    assert all(v == 0 for v in
+               quality.enforce(df.limit(0), checks, unique=("repo",)).values())
+    with pytest.raises(quality.ExpectationError):
+        quality.enforce(df, checks)
