@@ -50,12 +50,12 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def _library() -> tuple[dict, dict]:
-    from cdc.parity import events_cdc, functions, ivm_q, multimodal_q, relational, stream_q, textops, udf_q, vectors_q
+    from cdc.parity import events_cdc, functions, ivm_q, multimodal_q, relational, stream_q, textops, udf_q, vectors_q, wap_q
     from cdc.parity.common import merge_dicts
 
     queries, oracles = merge_dicts(events_cdc, relational, functions, stream_q,
                                    textops, vectors_q, multimodal_q, udf_q,
-                                   ivm_q)
+                                   ivm_q, wap_q)
 
     def with_shipment(fn):
         def wrapped(spark, sf_dir, _fn=fn):

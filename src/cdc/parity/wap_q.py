@@ -1,0 +1,143 @@
+"""Parity queries for the quality-expectation auditor (cdc.quality) and
+the write-audit-publish commit flow (cdc.table.wap).
+
+``quality_audit_counts`` pins the one-pass violation-count aggregate
+itself; ``wap_quality_gate`` drives the full table lifecycle — stage a
+deterministically-corrupted batch under a ref, have the audit gate reject
+and abandon it, then stage/audit/publish the cleaned batch — and the
+DuckDB oracle recomputes the final LWW state with the rejected rows
+excluded, so the gate's "bad batches leave no trace" guarantee is
+hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc.parity.common import load
+from cdc.parity.udf_q import _scratch
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+KNOWN_TYPES = ("click", "purchase", "signup", "view")  # 'error' is NOT ok
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+@q("quality_audit_counts", """
+SELECT CAST(SUM(CASE WHEN NOT COALESCE(value BETWEEN 0 AND 100, FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS value_in_0_100,
+       CAST(SUM(CASE WHEN NOT COALESCE(
+                  event_type IN ('click','purchase','signup','view'), FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS type_known,
+       CAST(SUM(CASE WHEN NOT COALESCE(
+                  user_id IS NOT NULL AND ts IS NOT NULL, FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS ids_present,
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS dup_event_id
+FROM events
+""")
+def quality_audit_counts(spark, sf_dir):
+    """cdc.quality.check: every declared expectation (range, enum,
+    not-null, key uniqueness) counted in ONE whole-stage-codegen aggregate
+    pass over the frame — the oracle recomputes each violation count with
+    the same NULL-counts-as-violation semantics."""
+    from cdc import quality
+
+    ev = load(spark, sf_dir, "events")
+    counts = quality.check(ev, {
+        "value_in_0_100": quality.in_range("value", 0, 100),
+        "type_known": quality.one_of("event_type", KNOWN_TYPES),
+        "ids_present": quality.not_null("user_id", "ts"),
+    }, unique=("event_id",))
+    row = (counts["value_in_0_100"], counts["type_known"],
+           counts["ids_present"], counts["unique(event_id)"])
+    return spark.createDataFrame(
+        [row], "value_in_0_100 long, type_known long, ids_present long, "
+               "dup_event_id long")
+
+
+@q("wap_quality_gate", """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS content
+  FROM events
+  -- the second batch (lsn >= 6000) is staged twice: the corrupted form
+  -- (U-row content nulled where value > 400) is rejected by the audit
+  -- gate and abandoned, so only its cleaned form (those rows dropped)
+  -- ever lands; delete rows are never corrupted, so both forms agree on
+  -- tombstones and parity holds whether or not the gate fires
+  WHERE event_id < 6000 OR value <= 400 OR event_type = 'error'
+),
+state AS (
+  SELECT repo, path, content FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY lsn DESC) AS rn
+    FROM ev) WHERE rn = 1 AND op <> 'D'
+)
+SELECT repo, path, content FROM state
+""")
+def wap_quality_gate(spark, sf_dir):
+    """Write-audit-publish lifecycle (cdc/table/wap.py + cdc/quality.py):
+    batch b0 (lsn < 6000) commits on the main line; batch b1 is staged
+    under a ref with a deterministic corruption (upsert content nulled
+    where value > 400), the audit gate rejects + abandons it, and the
+    cleaned batch (corrupted rows removed) stages and publishes through
+    the same gate. Final table state must equal the oracle's LWW over the
+    log with the rejected rows excluded — a corrupt stage leaves no
+    trace. The corruption is scoped to op='U' rows so the corrupted and
+    cleaned forms agree on tombstones: whichever way the gate goes (it
+    can only pass when no corrupted row wins its key), the published
+    winners equal the oracle's.
+
+    The lsn cutoff assumes sf0.01 (10k events); at sf0.001 batch b1 is
+    empty, both stages audit clean, and parity still holds."""
+    from cdc import quality
+    from cdc.dedup import last_writer_wins
+    from cdc.pipeline import apply_batch
+    from cdc.table import wap
+    from cdc.table.table import CdcTable
+
+    rendered = F.col("value").cast("decimal(18,2)").cast("string")
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.col("event_type").alias("path"),
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        rendered.alias("content"),
+        F.lit(0).alias("batch_id"),
+        F.col("value"))
+
+    work = _scratch("cdc_wap_q")
+    t = CdcTable(f"{work}/t", n_partitions=8, layout="key_hash")
+    apply_batch(spark, t, ev.filter(F.col("lsn") < 6000).drop("value"),
+                "b0", normalize=False, metrics=False)
+
+    checks = {"content_not_null": quality.not_null("content")}
+    tail = ev.filter(F.col("lsn") >= 6000)
+    bad = (F.col("value") > 400) & (F.col("op") == "U")
+    corrupted = tail.withColumn(
+        "content", F.when(bad, F.lit(None).cast("string"))
+                    .otherwise(F.col("content"))).drop("value")
+    wap.stage(spark, t, last_writer_wins(corrupted), "b1")
+    try:
+        wap.audit_and_publish(spark, t, predicates=checks)
+        # no corrupted row won its key (e.g. tiny sf: empty tail) — the
+        # publish is then winner-identical to the cleaned batch's
+    except quality.ExpectationError:
+        pass  # rejected + abandoned: the corrupt stage must leave no trace
+    cleaned = last_writer_wins(tail.filter(~bad).drop("value"))
+    wap.stage(spark, t, cleaned, "b1-clean")
+    wap.audit_and_publish(spark, t, predicates=checks)
+
+    return t.read(spark).select("repo", "path", "content")
