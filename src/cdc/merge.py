@@ -47,14 +47,28 @@ def merge_apply(
     ``state``       — columns: keys + value_cols + SYS_COLS.
     ``batch_final`` — one row per key (already LWW-collapsed): keys +
                       value_cols + (lsn, ts, op, batch_id).
+
+    Schema evolution (union-of-schemas, row-replacement semantics): a
+    column only the batch carries is ADDED — rows the batch doesn't win
+    read NULL for it; a state column the batch DROPPED is KEPT — batch
+    winners read NULL (the batch row is a full-row CDC image, so a column
+    its source no longer emits is genuinely absent from the new version),
+    losers keep their old value. Matching columns with different but
+    coercible types (int->long, float->double) widen via Spark's
+    when/otherwise coercion.
     """
     if value_cols is None:
-        value_cols = [c for c in batch_final.columns
+        batch_vals = [c for c in batch_final.columns
                       if c not in (*keys, "lsn", "ts", "op", "batch_id", "schema_version")]
+        state_vals = [c for c in state.columns
+                      if c not in (*keys, *SYS_COLS, "part")]
+        value_cols = state_vals + [c for c in batch_vals if c not in state_vals]
 
     b = batch_final.select(
         *[F.col(k).alias(f"_b_{k}") for k in keys],
-        *[F.col(c).alias(f"_bv_{c}") for c in value_cols],
+        *[(F.col(c) if c in batch_final.columns
+           else F.lit(None).cast(state.schema[c].dataType)).alias(f"_bv_{c}")
+          for c in value_cols],
         F.col("lsn").alias("_b_lsn"),
         F.col("ts").alias("_b_ts"),
         F.col("op").alias("_b_op"),

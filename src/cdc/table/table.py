@@ -47,6 +47,21 @@ def schema_ddl(schema: T.StructType, drop: Sequence[str] = ()) -> str:
     return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields if f.name not in drop)
 
 
+def _align_to_union(df: DataFrame, parent_ddl: str) -> DataFrame:
+    """Project ``df`` onto the union of the parent schema and its own:
+    parent columns first (typed NULL where ``df`` lacks one, ``df``'s own
+    column — possibly wider-typed — where it has it), then ``df``-only
+    columns. The recorded snapshot schema therefore only ever GROWS."""
+    parent = T.StructType.fromDDL(parent_ddl)
+    have = set(df.columns)
+    cols = [(F.col(f.name) if f.name in have
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in parent.fields]
+    parent_names = set(parent.fieldNames())
+    cols += [F.col(c) for c in df.columns if c not in parent_names]
+    return df.select(*cols)
+
+
 class CdcTable:
     """Single-writer transactional table over Parquet + JSON snapshots."""
 
@@ -374,6 +389,15 @@ class CdcTable:
             return parent
 
         rows = M.batch_to_state_rows(batch_final, keys=self.key_cols)
+        if parent is not None:
+            # union-of-schemas evolution: the recorded snapshot schema must
+            # keep every column the table already has (a delta batch whose
+            # source dropped a column would otherwise narrow the TABLE
+            # schema, orphaning the base layers' data for that column)
+            # while adding any batch-only columns. Parent columns the batch
+            # lacks ride as typed NULLs — row-replacement semantics,
+            # matching merge_apply's CoW behaviour.
+            rows = _align_to_union(rows, parent["schema_ddl"])
         rows = rows.withColumn(PART_COL, self.part_of())
         sid = store.next_snapshot_id(self.root)
         # one job total: the write; lsn bounds come back from the footers
