@@ -488,3 +488,100 @@ def w5_range_frame(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-600, 0)
     return ev.select("user_id", F.col("event_id").alias("lsn"),
                      F.round(F.sum("value").over(w), 4).alias("win_sum"))
+
+
+@q("j8_merge_into_clauses", """
+WITH ev AS (SELECT user_id, event_type, value, event_id AS lsn FROM events),
+t AS (SELECT user_id, event_type, value, lsn, 'old' AS tag FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY lsn DESC) AS rn
+      FROM ev WHERE lsn < 5000) WHERE rn = 1),
+s AS (SELECT user_id, event_type, value, lsn FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY lsn DESC) AS rn
+      FROM ev WHERE lsn >= 5000) WHERE rn = 1),
+j AS (SELECT t.user_id AS t_uid, t.event_type AS t_et, t.value AS t_v,
+             t.lsn AS t_lsn, t.tag AS t_tag,
+             s.user_id AS s_uid, s.event_type AS s_et, s.value AS s_v,
+             s.lsn AS s_lsn
+      FROM t FULL OUTER JOIN s ON t.user_id = s.user_id),
+f AS (SELECT *,
+        (t_uid IS NOT NULL AND s_uid IS NOT NULL
+         AND s_et = 'error') AS d_c,
+        (t_uid IS NOT NULL AND s_uid IS NOT NULL AND s_et <> 'error'
+         AND COALESCE(s_v > t_v, FALSE)) AS u_c,
+        (t_uid IS NULL AND s_uid IS NOT NULL AND s_et <> 'error') AS i_c
+      FROM j)
+SELECT COALESCE(t_uid, s_uid) AS user_id,
+       CASE WHEN u_c OR i_c THEN s_et ELSE t_et END AS event_type,
+       CASE WHEN u_c OR i_c THEN s_v ELSE t_v END AS value,
+       CASE WHEN u_c OR i_c THEN s_lsn ELSE t_lsn END AS lsn,
+       CASE WHEN u_c THEN 'updated' WHEN i_c THEN 'inserted'
+            ELSE t_tag END AS tag
+FROM f WHERE (t_uid IS NOT NULL AND NOT d_c) OR i_c
+""")
+def j8_merge_into_clauses(spark, sf_dir):
+    """J8 — generic conditional MERGE INTO (cdc/merge_into.py): target =
+    per-user LWW state of the log's first half, source = LWW of the second
+    half; WHEN MATCHED AND s is an error THEN DELETE, WHEN MATCHED AND the
+    source value is larger THEN UPDATE (SET lsn=s.lsn, tag='updated',
+    other shared columns defaulting to the source), WHEN NOT MATCHED AND
+    not an error THEN INSERT (tag='inserted'). The oracle replays the same
+    clause ladder as a FULL OUTER JOIN CASE pipeline (this DuckDB has no
+    MERGE statement). Clause order (delete before update) and
+    NULL-condition-is-false semantics are both exercised."""
+    from cdc.merge_into import merge_into
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "value", F.col("event_id").alias("lsn"))
+    w = Window.partitionBy("user_id").orderBy(F.col("lsn").desc())
+    lww = lambda df: (df.withColumn("rn", F.row_number().over(w))
+                        .filter(F.col("rn") == 1).drop("rn"))
+    t = lww(ev.filter(F.col("lsn") < 5000)).withColumn("tag", F.lit("old"))
+    s = lww(ev.filter(F.col("lsn") >= 5000))
+    return merge_into(
+        t, s, on=("user_id",),
+        matched_delete="s.event_type = 'error'",
+        matched_update="s.value > t.value",
+        update_set={"lsn": "s.lsn", "tag": "'updated'"},
+        not_matched_insert="s.event_type <> 'error'",
+        insert_values={"tag": "'inserted'"})
+
+
+@q("s10_debezium_decode", """
+SELECT user_id, event_type, value, props,
+       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+       event_id AS lsn,
+       make_timestamp(epoch_ms(ts) * 1000) AS ts
+FROM events
+""")
+def s10_debezium_decode(spark, sf_dir):
+    """S10 — Debezium envelope decode (cdc/io/debezium.py): the events log
+    is rendered into Debezium JSON envelopes (delete rows as op='d' with a
+    BEFORE image only; upserts alternating 'c'/'u'/'r' with an AFTER
+    image) and decoded back via one from_json projection. The oracle
+    states the decoder's contract directly over the raw table: image
+    column recovery (exact double/JSON-string round-trip), op collapsing
+    to U/D, lsn from the source block, millisecond-truncated ts."""
+    from cdc.io.debezium import from_debezium
+
+    ev = _events(spark, sf_dir)
+    image = F.struct("user_id", "event_type", "value", "props")
+    is_del = F.col("event_type") == "error"
+    op = (F.when(is_del, "d")
+           .when(F.col("event_id") % 7 == 0, "r")
+           .when(F.col("event_id") % 2 == 0, "c")
+           .otherwise("u"))
+    payload = F.struct(
+        F.when(is_del, image).alias("before"),
+        F.when(~is_del, image).alias("after"),
+        op.alias("op"),
+        # events.ts is TIMESTAMP_NTZ; unix_millis wants TIMESTAMP (session
+        # tz is UTC in the harness, so the instant is unchanged)
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.struct(F.col("event_id").alias("lsn")).alias("source"))
+    enveloped = ev.select(
+        F.to_json(F.struct(payload.alias("payload"))).alias("value"))
+    return from_debezium(
+        enveloped, "user_id bigint, event_type string, value double, "
+                   "props string")
