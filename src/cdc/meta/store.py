@@ -3,19 +3,24 @@
 Layout under a table root::
 
     root/
-      data/snap-<sid>/part=<p>/*.parquet    # immutable data files
+      data/snap-<sid>-<writer>/part=<p>/*.parquet  # immutable data files
       meta/snap-<sid>.json                  # snapshot: manifest + ledger
       meta/_current                         # pointer file -> snap-<sid>.json
       metrics/                              # lineage_metrics parquet (append)
 
 Commit protocol (SURVEY.md §4 "exactly-once commit"):
-1. stage data files under a snapshot-deterministic directory (a retried
-   commit overwrites the same staging paths — no duplicates);
+1. stage data files under a (snapshot id, writer token)-deterministic
+   directory — a retried commit from the SAME handle overwrites its own
+   staging paths (no duplicates), while a concurrent writer holding the
+   same candidate id stages elsewhere (no clobbering);
 2. write + fsync the snapshot JSON (manifest, schema, batch ledger);
-3. atomically swap ``meta/_current`` via ``os.replace`` (POSIX-atomic).
+3. atomically swap ``meta/_current`` via ``os.replace`` (POSIX-atomic),
+   CAS-checked against the expected parent under the commit lock — a
+   loser gets ``CommitConflictError`` and can retry against fresh state
+   (``apply_batch(conflict_retries=...)``); its staging dir is
+   unreferenced and reclaimed by ``maintenance.vacuum_orphans``.
 A crash anywhere before (3) leaves the table at the parent snapshot with
-only invisible orphan files. Single-writer by design (optimistic
-multi-writer CAS is an Iceberg-catalog concern, out of scope per SURVEY).
+only invisible orphan files.
 
 Scale note — TWO-LEVEL manifests (Iceberg's manifest-list -> manifest
 form): the snapshot JSON stores a manifest LIST (one entry per partition
@@ -127,10 +132,11 @@ def next_snapshot_id(root: str) -> int:
     """Allocate the next snapshot id: one past the HIGHEST snapshot file
     present — not parent+1. Staged write-audit-publish snapshots hold ids
     without being current, so parent+1 would let the next main-line commit
-    collide with a staged snapshot's metadata file and (worse) its
-    deterministic ``data/snap-<sid>`` staging directory. A crashed commit
+    collide with a staged snapshot's metadata file. A crashed commit
     (data staged, no metadata written) still re-allocates the same id on
-    retry, preserving the overwrite-not-duplicate staging contract."""
+    retry, preserving the overwrite-not-duplicate staging contract (the
+    staging dir also carries the handle's writer token, so two LIVE
+    writers racing for the same id never share a staging dir)."""
     d = meta_dir(root)
     mx = 0
     if os.path.isdir(d):

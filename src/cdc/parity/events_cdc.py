@@ -585,3 +585,37 @@ def s10_debezium_decode(spark, sf_dir):
     return from_debezium(
         enveloped, "user_id bigint, event_type string, value double, "
                    "props string")
+
+
+@q("a9_patch_column_lww", """
+WITH patches AS (
+  SELECT user_id, event_id AS lsn,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END AS val,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS etype
+  FROM events)
+SELECT user_id,
+       arg_max(val, lsn) FILTER (WHERE val IS NOT NULL) AS val,
+       arg_max(etype, lsn) FILTER (WHERE etype IS NOT NULL) AS etype,
+       max(lsn) AS lsn
+FROM patches GROUP BY user_id
+""")
+def a9_patch_column_lww(spark, sf_dir):
+    """A9 — column-level LWW for partial-update feeds (cdc/patch.py): the
+    events log is turned into a patch stream (each event NULLs a
+    deterministic subset of columns = "not touched") and folded per key
+    with per-column last-non-null-wins in ONE map-side-combinable
+    aggregate. The oracle states the same fold as per-column
+    arg_max FILTER (non-null) — row-level LWW would instead null every
+    column the key's final event didn't carry."""
+    from cdc.patch import column_lww
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("event_id").alias("lsn"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("string"))
+         .otherwise(F.col("value").cast("decimal(18,2)").cast("string"))
+         .alias("val"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("string"))
+         .otherwise(F.col("event_type")).alias("etype"))
+    return column_lww(ev, keys=("user_id",), order="lsn",
+                      value_cols=("val", "etype"))

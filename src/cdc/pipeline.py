@@ -41,6 +41,8 @@ def apply_batch(
     lww_via: str = "auto",
     metrics: bool = True,
     mode: str = "cow",
+    image: str = "full",
+    conflict_retries: int = 0,
 ) -> dict:
     """Apply one event batch exactly-once: no-op if batch_key is already in
     the table's commit ledger (T7).
@@ -49,12 +51,33 @@ def apply_batch(
     ``mode='mor'`` — merge-on-read delta append (write only the batch's
     winner rows; readers reconcile, compaction folds).
 
+    ``image='full'`` — events carry full row images (default; row-level
+    LWW). ``image='patch'`` — events are partial updates (NULL = column
+    not touched): the collapse is per-column last-non-null
+    (``cdc.patch``) and the merge coalesces into state. Patch feeds
+    require ``mode='cow'`` — the MOR read reconcile is row-level, so a
+    patch delta layer would shadow columns it didn't touch.
+
+    ``conflict_retries`` — on ``CommitConflictError`` (another writer
+    advanced the table between our state read and the CAS pointer swap),
+    re-run the commit up to this many times: each retry re-reads the NEW
+    current state and recomputes the merge from the cached collapsed
+    batch, and the ledger no-op check still applies if the other writer
+    committed this very batch_key. The LSN-guard merge is idempotent and
+    order-insensitive across writers of disjoint batches, so retrying is
+    always safe; 0 (default) preserves strict single-writer behaviour.
+
     ``lww_via='auto'`` — the skew planner measures the batch's key profile
     with one NARROW agg pass (key columns only; parquet column pruning keeps
     the wide content column unread) and picks: 'semi' when the winner-key
     set fits a broadcast (the wide content column then never shuffles —
     the default-replay scaling win), 'salted' for hot keys beyond the task
     budget, else 'maxby'."""
+    if image not in ("full", "patch"):
+        raise ValueError(f"unknown image kind {image!r}")
+    if image == "patch" and mode == "mor":
+        raise ValueError("patch feeds require mode='cow' (the MOR read "
+                         "reconcile is row-level)")
     if table.is_committed(batch_key):
         return table.current_snapshot()
     # resume-path guard only: a fully-applied tail must not commit an empty
@@ -62,15 +85,21 @@ def apply_batch(
     if table.lsn_high() >= 0 and events.isEmpty():
         return table.current_snapshot()
     t0 = time.monotonic()
-    salt = 32
-    if lww_via == "auto":
-        from cdc.skew import plan_lww
-        lww_via, salt = plan_lww(events)
-    # No standalone dedup pass: verbatim at-least-once re-deliveries are
-    # identical rows, so they collapse inside the LWW max_by / row_number
-    # itself — one wide-content shuffle instead of two. (dedupe_exact (A2)
-    # remains the standalone operator for metrics and streaming state.)
-    final = last_writer_wins(events, via=lww_via, salt_buckets=salt)
+    if image == "patch":
+        # per-column last-non-null collapse — same single-aggregate,
+        # map-side-combinable shape as the maxby LWW
+        from cdc.patch import collapse_patches
+        final = collapse_patches(events, keys=table.key_cols)
+    else:
+        salt = 32
+        if lww_via == "auto":
+            from cdc.skew import plan_lww
+            lww_via, salt = plan_lww(events)
+        # No standalone dedup pass: verbatim at-least-once re-deliveries are
+        # identical rows, so they collapse inside the LWW max_by / row_number
+        # itself — one wide-content shuffle instead of two. (dedupe_exact (A2)
+        # remains the standalone operator for metrics and streaming state.)
+        final = last_writer_wins(events, via=lww_via, salt_buckets=salt)
     if normalize:
         # normalization is per-row deterministic, so it commutes with the
         # LWW collapse: applying it to the ~1-row-per-key winners instead of
@@ -81,10 +110,23 @@ def apply_batch(
     # merge/write) — cache it so the log scan -> dedup -> LWW chain runs once.
     final = final.persist()
     try:
-        if mode == "mor":
-            snap = table.commit_delta(spark, final, batch_key)
-        else:
-            snap = table.commit_merge(spark, final, batch_key)
+        from cdc.meta.store import CommitConflictError
+        attempt = 0
+        while True:
+            try:
+                if mode == "mor":
+                    snap = table.commit_delta(spark, final, batch_key)
+                elif image == "patch":
+                    from cdc.patch import merge_patches
+                    snap = table.commit_merge(spark, final, batch_key,
+                                              apply_fn=merge_patches)
+                else:
+                    snap = table.commit_merge(spark, final, batch_key)
+                break
+            except CommitConflictError:
+                if attempt >= conflict_retries:
+                    raise
+                attempt += 1  # commit re-reads state; retry recomputes
         if metrics:
             # exact_dedup=False: the dedup counter uses a map-side HLL
             # sketch so the metrics job never shuffles the batch (see

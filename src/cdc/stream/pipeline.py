@@ -74,6 +74,7 @@ def stream_to_table(
     metrics: bool = False,
     await_termination: bool = True,
     downstream=(),
+    image: str = "full",
 ):
     """S7/T7 — exactly-once streaming sink via foreachBatch + commit ledger.
 
@@ -108,7 +109,8 @@ def stream_to_table(
             batch_df.write.format("noop").mode("overwrite").save()
         else:
             apply_batch(spark, table, batch_df, key,
-                        normalize=normalize, lww_via=lww_via, metrics=metrics)
+                        normalize=normalize, lww_via=lww_via, metrics=metrics,
+                        image=image)
         for fn in downstream:
             fn(spark, table)
 

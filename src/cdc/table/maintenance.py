@@ -63,6 +63,7 @@ def compact(spark: SparkSession, table: CdcTable,
         operation="compact",
         committed_ts=datetime.now(timezone.utc).isoformat(),
         snapshot_id=sid)
+    snap["table_config"] = table.table_config()
     # CAS on the parent read at the top: a writer that committed meanwhile
     # must not be clobbered by the compaction (same snapshot-id collision
     # risk as any commit)
@@ -98,9 +99,56 @@ def rollback(table: CdcTable, to_snapshot_id: int) -> dict:
         "committed_batches": list(target["committed_batches"]),
         "files": [{**f, "origin": "existing"} for f in target["files"]],
     }
+    # the restored files are clustered under the TARGET's partition spec —
+    # rolling back across a repartition must restore that spec too, or
+    # pruning/lookups against the restored files silently break. Re-open
+    # the handle (CdcTable.open) after rolling back across a spec change.
+    cfg = target.get("table_config", parent.get("table_config"))
+    if cfg:
+        snap["table_config"] = cfg
     store.write_snapshot(table.root, snap,
                          expected_parent=parent["snapshot_id"])
     return snap
+
+
+def repartition(spark: SparkSession, table: CdcTable,
+                n_partitions: int | None = None, layout: str | None = None,
+                files_per_partition: int | None = None) -> CdcTable:
+    """Partition evolution: rewrite the whole table under a new partition
+    spec as one transactional commit (operation='repartition') and record
+    the new spec in the snapshot. Readers at old snapshots keep the old
+    layout (their manifests carry old part ids); ``CdcTable.open`` after
+    this returns a handle with the new spec. Returns that handle.
+
+    Cost: one full read + one clustered write — the same shape as
+    ``compact`` — so evolve opportunistically *instead of* a compaction
+    cycle, not in addition to one."""
+    parent = table.current_snapshot()
+    if parent is None:
+        raise ValueError("cannot repartition an empty table")
+    new = CdcTable(
+        table.root, key_cols=table.key_cols,
+        n_partitions=n_partitions or table.n_partitions,
+        layout=layout or table.layout,
+        files_per_partition=files_per_partition or table.files_per_partition,
+        bloom_filters=table.bloom_filters)
+    df = (table.read(spark, include_deleted=True)
+          .withColumn(PART_COL, new.part_of()))   # re-derive under NEW spec
+    sid = store.next_snapshot_id(table.root)
+    if new.layout == "key_hash":
+        df = df.repartition(new.n_partitions * new.files_per_partition,
+                            *new.key_cols)
+    entries, ddl = new._write_data(df, sid)
+    snap = store.new_snapshot(
+        parent, batch_key=f"repartition-{sid:08d}",
+        lsn_high=parent["lsn_high"], files=entries, schema_ddl=ddl,
+        operation="repartition",
+        committed_ts=datetime.now(timezone.utc).isoformat(),
+        snapshot_id=sid)
+    snap["table_config"] = new.table_config()
+    store.write_snapshot(table.root, snap,
+                         expected_parent=parent["snapshot_id"])
+    return new
 
 
 def expire_snapshots(table: CdcTable, keep_last: int = 3) -> list[int]:

@@ -14,6 +14,7 @@ co-partition, and (c) only touched partitions are rewritten per commit
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Sequence
 from datetime import datetime, timezone
 
@@ -89,12 +90,67 @@ class CdcTable:
             # env override so spark-submit jobs can A/B without code changes
             bloom_filters = os.environ.get("CDC_BLOOM_FILTERS", "1") != "0"
         self.bloom_filters = bloom_filters
+        # writer-unique staging suffix: concurrent writers (or a CAS-retry
+        # racing another committer) can hold the SAME next snapshot id —
+        # without this, both would stage into one deterministic dir and
+        # mode=overwrite would delete the winner's files. Within ONE handle
+        # the suffix is stable, so a crash-retry still overwrites its own
+        # staging rather than duplicating; a dead writer's dir is
+        # unreferenced and reclaimed by maintenance.vacuum_orphans.
+        self.writer_token = uuid.uuid4().hex[:8]
 
     def part_of(self):
         """This table's partition Column (a pure function of the key)."""
         if self.layout == "key_hash":
             return key_part_expr(self.key_cols, self.n_partitions)
         return part_expr(self.key_cols[0], self.n_partitions)
+
+    # -- partition-spec persistence -------------------------------------------
+    def table_config(self) -> dict:
+        """The layout-defining spec, recorded in every snapshot (the
+        Iceberg partition-spec analog): partition pruning, lookups, and
+        the skip-repartition commit all assume the WRITER's spec, so a
+        reader/writer opened with different parameters would silently
+        mis-prune. ``files_per_partition`` rides along for ``open`` but is
+        a write-sizing knob, not identity."""
+        return {"key_cols": list(self.key_cols),
+                "n_partitions": self.n_partitions,
+                "layout": self.layout,
+                "files_per_partition": self.files_per_partition}
+
+    def _check_config(self, parent: dict | None) -> None:
+        cfg = (parent or {}).get("table_config")
+        if not cfg:
+            return
+        ours = self.table_config()
+        for k in ("key_cols", "n_partitions", "layout"):
+            if cfg[k] != ours[k]:
+                raise ValueError(
+                    f"table at {self.root} was committed with {k}={cfg[k]!r}"
+                    f" but this handle has {k}={ours[k]!r} — open it with "
+                    f"CdcTable.open(root), or evolve the layout explicitly "
+                    f"via maintenance.repartition")
+
+    @classmethod
+    def open(cls, root: str, **overrides) -> "CdcTable":
+        """Open an existing table with the partition spec its snapshots
+        record — the safe way to get a handle without repeating (and
+        possibly mistyping) the creation parameters. ``overrides`` pass
+        through non-identity knobs (e.g. ``bloom_filters``)."""
+        snap = store.read_current(root)
+        if snap is None:
+            raise ValueError(f"no table at {root}")
+        cfg = snap.get("table_config")
+        if cfg is None:
+            raise ValueError(
+                f"snapshot at {root} predates recorded table config — "
+                f"construct CdcTable(...) with the original parameters "
+                f"(the next commit records them)")
+        return cls(root, key_cols=tuple(cfg["key_cols"]),
+                   n_partitions=int(cfg["n_partitions"]),
+                   layout=cfg["layout"],
+                   files_per_partition=int(cfg.get("files_per_partition", 1)),
+                   **overrides)
 
     # -- metadata ------------------------------------------------------------
     def current_snapshot(self) -> dict | None:
@@ -174,7 +230,7 @@ class CdcTable:
                     # anchored to the data dir: a table ROOT containing
                     # 'snap-<digits>' must not shadow the layer id
                     d = d.withColumn("_layer", F.regexp_extract(
-                        F.input_file_name(), r"data/snap-(\d+)/", 1).cast("long"))
+                        F.input_file_name(), r"data/snap-(\d+)[^/]*/", 1).cast("long"))
                 dfs.append(d)
             df = dfs[0]
             for d in dfs[1:]:
@@ -248,7 +304,7 @@ class CdcTable:
         Deterministic staging dir per snapshot id -> a retried commit
         overwrites rather than duplicates. One file per (part, file_group);
         rows sorted by key within files for read locality (O2)."""
-        rel_dir = f"data/snap-{snapshot_id:012d}"
+        rel_dir = f"data/snap-{snapshot_id:012d}-{self.writer_token}"
         out_dir = os.path.join(self.root, rel_dir)
         # per-key-column parquet bloom filters: point lookups (``lookup``)
         # skip row groups whose sorted-key min/max straddles the probe but
@@ -387,6 +443,7 @@ class CdcTable:
         parent = self.current_snapshot()
         if parent and batch_key in parent["committed_batches"]:
             return parent
+        self._check_config(parent)
 
         rows = M.batch_to_state_rows(batch_final, keys=self.key_cols)
         if parent is not None:
@@ -419,21 +476,28 @@ class CdcTable:
             committed_ts=datetime.now(timezone.utc).isoformat(),
             snapshot_id=sid,
         )
+        snap["table_config"] = self.table_config()
         store.write_snapshot(self.root, snap,
                              expected_parent=parent["snapshot_id"] if parent else 0,
                              ref=ref)
         return snap
 
     def commit_merge(self, spark: SparkSession, batch_final: DataFrame,
-                     batch_key: str, ref: str = store.CURRENT) -> dict:
+                     batch_key: str, ref: str = store.CURRENT,
+                     apply_fn=None) -> dict:
         """MERGE-apply one LWW-collapsed batch and commit a new snapshot.
 
         Exactly-once: if ``batch_key`` is already in the ledger this is a
-        no-op (duplicate epoch delivery / crash-after-commit replay)."""
+        no-op (duplicate epoch delivery / crash-after-commit replay).
+
+        ``apply_fn(state, batch_final, keys=...)`` overrides the merge
+        semantics (default ``merge.merge_apply`` full-row replacement);
+        pass ``patch.merge_patches`` for partial-update feeds."""
         batch_key = str(batch_key)
         parent = self.current_snapshot()
         if parent and batch_key in parent["committed_batches"]:
             return parent
+        self._check_config(parent)
 
         batch = batch_final.withColumn(PART_COL, self.part_of())
         agg = batch.agg(F.max("lsn").alias("h"),
@@ -447,7 +511,8 @@ class CdcTable:
         if state is None:
             state = M.empty_state(spark, batch_final, keys=self.key_cols)
             state = state.withColumn(PART_COL, self.part_of())
-        merged = M.merge_apply(state.drop(PART_COL), batch_final, keys=self.key_cols)
+        merged = (apply_fn or M.merge_apply)(state.drop(PART_COL),
+                                             batch_final, keys=self.key_cols)
         merged = merged.withColumn(PART_COL, self.part_of())
 
         sid = store.next_snapshot_id(self.root)
@@ -470,6 +535,7 @@ class CdcTable:
             committed_ts=datetime.now(timezone.utc).isoformat(),
             snapshot_id=sid,
         )
+        snap["table_config"] = self.table_config()
         store.write_snapshot(self.root, snap,
                              expected_parent=parent["snapshot_id"] if parent else 0,
                              ref=ref)

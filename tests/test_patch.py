@@ -1,0 +1,107 @@
+"""Column-level LWW / partial-update merge (cdc/patch.py): per-column
+last-non-null resolution, trailing-delete precedence, and the replay
+invariant state+patches == full-history fold."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc.merge import empty_state
+from cdc.patch import collapse_patches, column_lww, merge_patches
+
+DDL = ("repo string, path string, lsn long, content string, lang string, "
+       "op string")
+
+
+def ev(spark, rows):
+    return (spark.createDataFrame(rows, DDL)
+            .select("*",
+                    F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+                    F.lit(0).alias("batch_id")))
+
+
+def test_column_lww_resolves_each_column_independently(spark):
+    df = ev(spark, [
+        ("r1", "a", 1, "v1", "en", "U"),
+        ("r1", "a", 2, None, "fr", "U"),   # patch: only lang
+        ("r1", "a", 3, "v3", None, "U"),   # patch: only content
+        ("r2", "b", 1, None, None, "U"),   # never-touched columns stay null
+    ])
+    out = {(r.repo, r.path): (r.content, r.lang, r.lsn)
+           for r in column_lww(df, value_cols=("content", "lang")).collect()}
+    assert out == {("r1", "a"): ("v3", "fr", 3), ("r2", "b"): (None, None, 1)}
+
+
+def test_collapse_patches_trailing_delete_wins_key(spark):
+    df = ev(spark, [
+        ("r1", "a", 1, "v1", "en", "U"),
+        ("r1", "a", 5, None, None, "D"),   # delete after patches
+        ("r1", "a", 3, "v3", None, "U"),
+    ])
+    row = collapse_patches(df).collect()[0]
+    assert (row.op, row.lsn) == ("D", 5)
+    # the fold still surfaces the last non-null values (merge ignores
+    # them once op='D' tombstones the key)
+    assert (row.content, row.lang) == ("v3", "en")
+
+
+def test_state_plus_patches_equals_full_history_fold(spark):
+    b1 = [("r1", "a", 1, "v1", "en", "U"),
+          ("r1", "b", 2, "w1", None, "U"),
+          ("r2", "c", 3, "x1", "de", "U")]
+    b2 = [("r1", "a", 10, None, "fr", "U"),    # patches lang only
+          ("r1", "b", 11, "w2", None, "U"),    # patches content only
+          ("r2", "c", 12, None, None, "D"),    # delete
+          ("r1", "a", 4, "late4", None, "U")]  # reordered WITHIN the batch:
+    # lsn 4's content is the column's last non-null (lsn 10 left it null),
+    # so it wins content while lsn 10 wins lang — exactly the full fold
+    s1 = merge_patches(empty_state(spark, ev(spark, b1)),
+                       collapse_patches(ev(spark, b1)))
+    s2 = merge_patches(s1, collapse_patches(ev(spark, b2)))
+    live = s2.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    got = {(r.repo, r.path): (r.content, r.lang, r._lsn)
+           for r in live.collect()}
+    full = column_lww(ev(spark, b1 + b2).filter(F.col("op") != "D"),
+                      value_cols=("content", "lang"))
+    want = {(r.repo, r.path): (r.content, r.lang, r.lsn)
+            for r in full.collect() if (r.repo, r.path) != ("r2", "c")}
+    assert got == want == {
+        ("r1", "a"): ("late4", "fr", 10),
+        ("r1", "b"): ("w2", None, 11),
+    }
+
+
+def test_late_patch_loses_to_state_lsn(spark):
+    b1 = [("r1", "a", 10, "v10", "en", "U")]
+    late = [("r1", "a", 5, "old", "fr", "U")]
+    s1 = merge_patches(empty_state(spark, ev(spark, b1)),
+                       collapse_patches(ev(spark, b1)))
+    s2 = merge_patches(s1, collapse_patches(ev(spark, late)))
+    row = s2.collect()[0]
+    assert (row.content, row.lang, row._lsn) == ("v10", "en", 10)
+
+
+def test_apply_batch_patch_mode_end_to_end(spark, tmp_path):
+    import pytest
+
+    from cdc.pipeline import apply_batch
+    from cdc.table.table import CdcTable
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", "en", "U"),
+                                     ("r1", "b", 2, "w1", "de", "U")]),
+                "b0", normalize=False, metrics=False, image="patch")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 5, None, "fr", "U"),
+                                     ("r1", "b", 6, "w2", None, "U")]),
+                "b1", normalize=False, metrics=False, image="patch")
+    got = {(r.repo, r.path): (r.content, r.lang)
+           for r in t.read(spark).collect()}
+    # patches touched one column each; the other survived from state
+    assert got == {("r1", "a"): ("v1", "fr"), ("r1", "b"): ("w2", "de")}
+    # exactly-once: re-applying b1 is a no-op
+    snap = apply_batch(spark, t, ev(spark, [("r1", "a", 5, None, "fr", "U")]),
+                       "b1", normalize=False, metrics=False, image="patch")
+    assert snap["snapshot_id"] == t.current_snapshot()["snapshot_id"]
+    with pytest.raises(ValueError, match="mode='cow'"):
+        apply_batch(spark, t, ev(spark, [("r1", "a", 9, None, "it", "U")]),
+                    "b2", image="patch", mode="mor")

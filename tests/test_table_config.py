@@ -1,0 +1,88 @@
+"""Partition-spec persistence (snapshot-recorded table config), the
+commit-time mismatch guard, CdcTable.open, and partition evolution via
+maintenance.repartition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc.pipeline import apply_batch
+from cdc.table.maintenance import repartition, rollback
+from cdc.table.table import CdcTable
+
+
+def ev(spark, rows):
+    return (spark.createDataFrame(
+                rows, "repo string, path string, lsn long, "
+                      "content string, op string")
+            .select("*",
+                    F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+                    F.lit(0).alias("batch_id")))
+
+
+def contents(df):
+    return {(r.repo, r.path): r.content for r in
+            df.select("repo", "path", "content").collect()}
+
+
+ROWS = [("r1", "a", 1, "v1", "U"), ("r2", "b", 2, "w1", "U"),
+        ("r3", "c", 3, "x1", "U"), ("r1", "d", 4, "y1", "U")]
+
+
+def test_open_restores_recorded_spec(spark, tmp_path):
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash",
+                 files_per_partition=2)
+    apply_batch(spark, t, ev(spark, ROWS), "b0",
+                normalize=False, metrics=False)
+    o = CdcTable.open(t.root)
+    assert (o.key_cols, o.n_partitions, o.layout, o.files_per_partition) == \
+        (("repo", "path"), 4, "key_hash", 2)
+    assert contents(o.read(spark)) == contents(t.read(spark))
+    assert o.lookup(spark, repo="r2", path="b").collect()[0].content == "w1"
+    with pytest.raises(ValueError):
+        CdcTable.open(str(tmp_path / "nope"))
+
+
+def test_commit_guard_rejects_mismatched_handle(spark, tmp_path):
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, ROWS), "b0",
+                normalize=False, metrics=False)
+    wrong = CdcTable(t.root, n_partitions=8, layout="key_hash")
+    with pytest.raises(ValueError, match="n_partitions"):
+        apply_batch(spark, wrong, ev(spark, [("r9", "z", 9, "zz", "U")]),
+                    "b1", normalize=False, metrics=False)
+    wrong_layout = CdcTable(t.root, n_partitions=4, layout="repo_hash")
+    with pytest.raises(ValueError, match="layout"):
+        apply_batch(spark, wrong_layout,
+                    ev(spark, [("r9", "z", 9, "zz", "U")]),
+                    "b1", normalize=False, metrics=False, mode="mor")
+    # the guard names the escape hatches
+    assert t.is_committed("b0") and not t.is_committed("b1")
+
+
+def test_repartition_evolves_spec_and_rollback_restores_it(spark, tmp_path):
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, ROWS), "b0",
+                normalize=False, metrics=False)
+    before = t.current_snapshot()["snapshot_id"]
+    t2 = repartition(spark, t, n_partitions=8)
+    assert t2.n_partitions == 8
+    assert CdcTable.open(t.root).n_partitions == 8
+    assert contents(t2.read(spark)) == contents(t.read(spark, snapshot_id=before))
+    # manifest part ids now span the new spec's range and lookups work
+    assert all(0 <= f["part"] < 8 for f in t2.current_snapshot()["files"])
+    assert t2.lookup(spark, repo="r3", path="c").collect()[0].content == "x1"
+    # commits through the NEW handle pass the guard; the old handle fails it
+    apply_batch(spark, t2, ev(spark, [("r9", "z", 9, "zz", "U")]), "b1",
+                normalize=False, metrics=False)
+    with pytest.raises(ValueError):
+        apply_batch(spark, t, ev(spark, [("r9", "y", 10, "yy", "U")]), "b2",
+                    normalize=False, metrics=False)
+    # rolling back across the repartition restores the OLD spec with the
+    # old files; a re-opened handle prunes correctly again
+    rollback(t2, before)
+    o = CdcTable.open(t.root)
+    assert o.n_partitions == 4
+    assert contents(o.read(spark)) == contents(t2.read(spark, snapshot_id=before))
+    assert o.lookup(spark, repo="r1", path="d").collect()[0].content == "y1"

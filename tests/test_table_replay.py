@@ -334,9 +334,10 @@ def test_executor_side_stats_match_footer_stats(spark, tmp_path):
         key=lambda e: e["path"])
 
     import os
-    out_dir = os.path.join(table.root, "data/snap-000000000001")
+    rel_dir = "data/" + footer[0]["path"].split("/", 2)[1]
+    out_dir = os.path.join(table.root, rel_dir)
     via_spark = sorted(
-        table._stats_via_spark(spark, out_dir, "data/snap-000000000001",
+        table._stats_via_spark(spark, out_dir, rel_dir,
                                footer[0]["columns"], "base"),
         key=lambda e: e["path"])
     assert via_spark == footer

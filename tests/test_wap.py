@@ -64,13 +64,14 @@ def test_publish_cas_fails_after_mainline_commit(spark, tmp_path):
     with pytest.raises(CommitConflictError):
         wap.publish(t)
     assert contents(t.read(spark)) == {("r1", "a"): "v2"}
-    # abandon + vacuum reclaims the staged files
-    staged_dir = os.path.join(t.root, "data",
-                              f"snap-{staged_snap['snapshot_id']:012d}")
+    # abandon + vacuum reclaims the staged files (dir name carries the
+    # writer token, so derive it from the staged manifest)
+    staged_name = staged_snap["files"][0]["path"].split("/", 2)[1]
+    staged_dir = os.path.join(t.root, "data", staged_name)
     assert os.path.isdir(staged_dir)
     assert wap.abandon(t)
     removed = vacuum_orphans(t)
-    assert f"snap-{staged_snap['snapshot_id']:012d}" in removed
+    assert staged_name in removed
     assert not os.path.isdir(staged_dir)
     assert contents(t.read(spark)) == {("r1", "a"): "v2"}
 
