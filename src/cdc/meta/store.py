@@ -218,9 +218,11 @@ def _release_commit_lock(root: str, fd: int) -> None:
 
 
 def publish_ref(root: str, ref: str) -> dict[str, Any]:
-    """Write-audit-PUBLISH: atomically advance ``_current`` to the snapshot
-    a named ref points at, iff the table is still at that snapshot's parent
-    (the CAS that makes a stale audit unpublishable). Consumes the ref."""
+    """Write-audit-PUBLISH: atomically fast-forward ``_current`` to the
+    snapshot (or branch HEAD) a named ref points at, iff the table is
+    still at the chain's BRANCH BASE (the CAS that makes a stale audit
+    unpublishable — one pointer swap publishes the whole chain, whose
+    parent links land intact in history). Consumes the ref."""
     fd = _acquire_commit_lock(root)
     try:
         ptr = os.path.join(meta_dir(root), _ref_name(ref))
@@ -229,12 +231,12 @@ def publish_ref(root: str, ref: str) -> dict[str, Any]:
         with open(ptr) as f:
             name = f.read().strip()
         snap = read_snapshot_file(os.path.join(meta_dir(root), name))
+        base = snap.get("branch_base", snap["parent_id"])
         cur = current_snapshot_id(root)
-        if cur != snap["parent_id"]:
+        if cur != base:
             raise CommitConflictError(
                 f"table advanced to snapshot {cur} since ref {ref!r} was "
-                f"staged on parent {snap['parent_id']} — restage on fresh "
-                f"state")
+                f"staged on base {base} — restage on fresh state")
         _swap_pointer(root, name, CURRENT)
         os.unlink(ptr)
         return snap
@@ -243,8 +245,9 @@ def publish_ref(root: str, ref: str) -> dict[str, Any]:
 
 
 def drop_ref(root: str, ref: str, delete_snapshot: bool = True) -> bool:
-    """Abandon a staged snapshot: remove the ref pointer and (by default)
-    its metadata file so ``vacuum_orphans`` reclaims the staged data files.
+    """Abandon a staged snapshot or branch: remove the ref pointer and
+    (by default) the metadata of the WHOLE staged chain back to its
+    branch base, so ``vacuum_orphans`` reclaims all staged data files.
     Returns False when the ref does not exist."""
     fd = _acquire_commit_lock(root)
     try:
@@ -258,11 +261,24 @@ def drop_ref(root: str, ref: str, delete_snapshot: bool = True) -> bool:
             # never drop a published snapshot: publish consumes the ref, so
             # this name can only be current if the user re-pointed by hand
             cur = os.path.join(meta_dir(root), CURRENT)
-            if not (os.path.exists(cur) and open(cur).read().strip() == name):
+            published = (os.path.exists(cur)
+                         and open(cur).read().strip() == name)
+            path = os.path.join(meta_dir(root), name)
+            while not published:
                 try:
-                    os.unlink(os.path.join(meta_dir(root), name))
+                    snap = read_snapshot_file(path)
+                except (OSError, ValueError):
+                    break
+                base = snap.get("branch_base")
+                try:
+                    os.unlink(path)
                 except OSError:
                     pass
+                # walk the chain: stop at the branch base (a main-line
+                # snapshot — NOT ours to delete) or a pre-branch snapshot
+                if base is None or snap["parent_id"] <= base:
+                    break
+                path = snap_path(root, snap["parent_id"])
         return True
     finally:
         _release_commit_lock(root, fd)
@@ -389,3 +405,57 @@ def new_snapshot(
         "committed_batches": ledger[-LEDGER_KEEP:],
         "files": files,
     }
+
+
+# -- tags: named immutable snapshot pointers (Iceberg tags analog) ----------
+
+def _tag_path(root: str, name: str) -> str:
+    if not name or "/" in name or os.sep in name or name.startswith("_"):
+        raise ValueError(f"bad tag name {name!r}")
+    return os.path.join(meta_dir(root), f"_tag-{name}")
+
+
+def write_tag(root: str, name: str, snapshot_id: int,
+              replace: bool = False) -> None:
+    """Point a named tag at a snapshot (atomic). Tags are read-only
+    bookmarks: time-travel reads resolve them, and ``expire_snapshots``
+    keeps tagged snapshots alive however old — the audit/repro pin."""
+    path = _tag_path(root, name)
+    if not replace and os.path.exists(path):
+        raise ValueError(f"tag {name!r} exists (pass replace=True)")
+    # validate the target exists before pointing at it
+    read_snapshot(root, snapshot_id)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(int(snapshot_id)))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def read_tag_id(root: str, name: str) -> int:
+    path = _tag_path(root, name)
+    if not os.path.exists(path):
+        raise ValueError(f"no tag {name!r}")
+    with open(path) as f:
+        return int(f.read().strip())
+
+
+def list_tags(root: str) -> dict[str, int]:
+    d = meta_dir(root)
+    out: dict[str, int] = {}
+    if os.path.isdir(d):
+        for n in sorted(os.listdir(d)):
+            if n.startswith("_tag-") and not n.endswith(".tmp"):
+                with open(os.path.join(d, n)) as f:
+                    out[n[len("_tag-"):]] = int(f.read().strip())
+    return out
+
+
+def drop_tag(root: str, name: str) -> bool:
+    path = _tag_path(root, name)
+    try:
+        os.unlink(path)
+        return True
+    except OSError:
+        return False

@@ -28,13 +28,37 @@ from cdc.table.table import PART_COL, CdcTable
 
 def compact(spark: SparkSession, table: CdcTable,
             vacuum_tombstones_below_lsn: int | None = None,
-            files_per_partition: int | None = None) -> dict:
-    """Rewrite every partition into ``files_per_partition`` files; drop
-    tombstones whose _lsn <= the vacuum horizon. Returns the new snapshot."""
+            files_per_partition: int | None = None,
+            parts: list[int] | None = None,
+            max_files_per_partition: int | None = None) -> dict:
+    """Rewrite partitions into ``files_per_partition`` files; drop
+    tombstones whose _lsn <= the vacuum horizon. Returns the new snapshot.
+
+    INCREMENTAL compaction (the only viable form at 100 TB — a full
+    rewrite is O(table)): ``parts`` compacts exactly those partitions;
+    ``max_files_per_partition`` auto-selects the partitions that are
+    actually fragmented (more than that many files, or carrying delta
+    layers) straight from the manifest — no data read. Untouched
+    partitions' files are carried by reference, so the commit costs
+    O(fragmented partitions). Default (both None) rewrites everything."""
     parent = table.current_snapshot()
     if parent is None:
         raise ValueError("cannot compact an empty table")
-    df = table.read(spark, include_deleted=True)
+    if parts is not None and max_files_per_partition is not None:
+        raise ValueError("pass parts or max_files_per_partition, not both")
+    if max_files_per_partition is not None:
+        by_part: dict[int, int] = {}
+        delta_parts: set[int] = set()
+        for f in parent["files"]:
+            p = int(f["part"])
+            by_part[p] = by_part.get(p, 0) + 1
+            if f.get("kind") == "delta":
+                delta_parts.add(p)
+        parts = sorted(p for p, n in by_part.items()
+                       if n > max_files_per_partition or p in delta_parts)
+        if not parts:
+            return parent
+    df = table.read(spark, parts=parts, include_deleted=True)
     if vacuum_tombstones_below_lsn is not None:
         keep = ~(F.coalesce(F.col("_deleted"), F.lit(False))
                  & (F.col("_lsn") <= F.lit(vacuum_tombstones_below_lsn)))
@@ -48,7 +72,11 @@ def compact(spark: SparkSession, table: CdcTable,
         if table.layout == "key_hash":
             # the key_hash write trusts the incoming clustering; a raw
             # snapshot read has none, so compaction supplies it here —
-            # one shuffle, right-sized files.
+            # one shuffle, right-sized files. The width stays P*fpp even
+            # for a PARTIAL compact: pmod(hash(key), P) only aligns with
+            # the task id when P divides the shuffle width, and alignment
+            # is what keeps each output part in one task (one file);
+            # unselected parts' tasks are simply empty.
             df = df.repartition(
                 table.n_partitions * table.files_per_partition,
                 *table.key_cols)
@@ -57,9 +85,14 @@ def compact(spark: SparkSession, table: CdcTable,
         df.unpersist()
         table.files_per_partition = old_fpp
 
+    carried = []
+    if parts is not None:
+        selected = set(parts)
+        carried = [{**f, "origin": "existing"} for f in parent["files"]
+                   if int(f["part"]) not in selected]
     snap = store.new_snapshot(
         parent, batch_key=f"compact-{sid:08d}",
-        lsn_high=parent["lsn_high"], files=entries, schema_ddl=ddl,
+        lsn_high=parent["lsn_high"], files=entries + carried, schema_ddl=ddl,
         operation="compact",
         committed_ts=datetime.now(timezone.utc).isoformat(),
         snapshot_id=sid)
@@ -153,15 +186,17 @@ def repartition(spark: SparkSession, table: CdcTable,
 
 def expire_snapshots(table: CdcTable, keep_last: int = 3) -> list[int]:
     """Drop snapshot JSONs older than the newest ``keep_last`` (time-travel
-    horizon); the current snapshot is always kept. Returns expired ids."""
+    horizon); the current snapshot and any TAGGED snapshots (audit/repro
+    pins — ``CdcTable.tag``) are always kept. Returns expired ids."""
     snaps = table.snapshots()
     if len(snaps) <= keep_last:
         return []
     current = table.current_snapshot()["snapshot_id"]
+    pinned = set(store.list_tags(table.root).values()) | {current}
     expired = []
     for snap in snaps[:-keep_last]:
         sid = snap["snapshot_id"]
-        if sid == current:
+        if sid in pinned:
             continue
         os.remove(store.snap_path(table.root, sid))
         expired.append(sid)

@@ -194,9 +194,23 @@ class CdcTable:
                   "lsn_min long, lsn_max long, origin string")
 
     # -- read path (S5 + P3) ---------------------------------------------------
+    def tag(self, name: str, snapshot_id: int | None = None,
+            replace: bool = False) -> int:
+        """Pin a snapshot under a named tag (default: the current one).
+        Tagged snapshots survive ``expire_snapshots`` and resolve in
+        ``read(tag=...)`` — the audit/repro bookmark."""
+        sid = (snapshot_id if snapshot_id is not None
+               else self.current_snapshot()["snapshot_id"])
+        store.write_tag(self.root, name, sid, replace=replace)
+        return sid
+
+    def tags(self) -> dict[str, int]:
+        return store.list_tags(self.root)
+
     def read(self, spark: SparkSession, parts: Sequence[int] | None = None,
              snapshot_id: int | None = None,
-             include_deleted: bool = False) -> DataFrame | None:
+             include_deleted: bool = False,
+             tag: str | None = None) -> DataFrame | None:
         """Manifest-resolved read. ``parts`` prunes at the manifest level —
         Spark never sees files of untouched partitions. Files written under
         older schemas are read with their own recorded DDL, then
@@ -204,6 +218,10 @@ class CdcTable:
         (U1 read-path schema evolution). Delete tombstones are filtered
         unless ``include_deleted`` (the merge path reads them so late
         lower-LSN updates lose to the delete)."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            snapshot_id = store.read_tag_id(self.root, tag)
         snap = (store.read_snapshot(self.root, snapshot_id) if snapshot_id is not None
                 else self.current_snapshot())
         if snap is None:
@@ -427,7 +445,8 @@ class CdcTable:
         return entries
 
     def commit_delta(self, spark: SparkSession, batch_final: DataFrame,
-                     batch_key: str, ref: str = store.CURRENT) -> dict:
+                     batch_key: str, ref: str = store.CURRENT,
+                     onto: dict | None = None) -> dict:
         """Merge-on-read commit (the write-amplification answer at
         10^10-event scale): append ONLY the batch's winner rows (incl.
         tombstones) as a delta layer for the touched partitions — no state
@@ -440,7 +459,7 @@ class CdcTable:
         O(batch size) per commit and reads pay the reconcile until the next
         compaction — the right trade for high-frequency small batches."""
         batch_key = str(batch_key)
-        parent = self.current_snapshot()
+        parent = onto if onto is not None else self.current_snapshot()
         if parent and batch_key in parent["committed_batches"]:
             return parent
         self._check_config(parent)
@@ -476,15 +495,11 @@ class CdcTable:
             committed_ts=datetime.now(timezone.utc).isoformat(),
             snapshot_id=sid,
         )
-        snap["table_config"] = self.table_config()
-        store.write_snapshot(self.root, snap,
-                             expected_parent=parent["snapshot_id"] if parent else 0,
-                             ref=ref)
-        return snap
+        return self._finish_commit(snap, parent, ref, onto)
 
     def commit_merge(self, spark: SparkSession, batch_final: DataFrame,
                      batch_key: str, ref: str = store.CURRENT,
-                     apply_fn=None) -> dict:
+                     apply_fn=None, onto: dict | None = None) -> dict:
         """MERGE-apply one LWW-collapsed batch and commit a new snapshot.
 
         Exactly-once: if ``batch_key`` is already in the ledger this is a
@@ -492,9 +507,15 @@ class CdcTable:
 
         ``apply_fn(state, batch_final, keys=...)`` overrides the merge
         semantics (default ``merge.merge_apply`` full-row replacement);
-        pass ``patch.merge_patches`` for partial-update feeds."""
+        pass ``patch.merge_patches`` for partial-update feeds.
+
+        ``onto`` — parent snapshot to merge against instead of the
+        current one (branch staging: chaining commits under a named
+        ``ref``). The CAS then guards the BRANCH BASE — the main-line
+        snapshot the chain forked from — so any main-line advance
+        invalidates the whole chain at publish/commit time."""
         batch_key = str(batch_key)
-        parent = self.current_snapshot()
+        parent = onto if onto is not None else self.current_snapshot()
         if parent and batch_key in parent["committed_batches"]:
             return parent
         self._check_config(parent)
@@ -507,7 +528,9 @@ class CdcTable:
         else:
             touched, batch_lsn_high = sorted(agg["parts"]), int(agg["h"])
 
-        state = self.read(spark, parts=touched, include_deleted=True)
+        state = self.read(spark, parts=touched, include_deleted=True,
+                          snapshot_id=(parent["snapshot_id"]
+                                       if onto is not None else None))
         if state is None:
             state = M.empty_state(spark, batch_final, keys=self.key_cols)
             state = state.withColumn(PART_COL, self.part_of())
@@ -535,8 +558,28 @@ class CdcTable:
             committed_ts=datetime.now(timezone.utc).isoformat(),
             snapshot_id=sid,
         )
+        return self._finish_commit(snap, parent, ref, onto)
+
+    def _finish_commit(self, snap: dict, parent: dict | None, ref: str,
+                       onto: dict | None) -> dict:
+        """Stamp config (+ branch base for named refs) and write with the
+        right CAS target: main-line commits CAS on their parent; branch
+        commits CAS on the BRANCH BASE — the main-line snapshot the chain
+        forked from (inherited down the chain), so a main-line advance
+        fails every later stage, not just the publish.
+
+        The base is inherited ONLY when chaining onto a staged snapshot
+        (``onto is not None``): a published snapshot keeps its
+        ``branch_base`` field in history, and a FRESH stage forking from
+        it must CAS on the fork point itself, not that stale base."""
         snap["table_config"] = self.table_config()
-        store.write_snapshot(self.root, snap,
-                             expected_parent=parent["snapshot_id"] if parent else 0,
+        expected = parent["snapshot_id"] if parent else 0
+        if ref != store.CURRENT:
+            base = parent["snapshot_id"] if parent else 0
+            if onto is not None and parent is not None:
+                base = parent.get("branch_base", base)
+            snap["branch_base"] = base
+            expected = base
+        store.write_snapshot(self.root, snap, expected_parent=expected,
                              ref=ref)
         return snap

@@ -33,12 +33,20 @@ def stage(spark: SparkSession, table: CdcTable, batch_final: DataFrame,
           batch_key: str, ref: str = "audit", mode: str = "cow") -> dict:
     """Run a full CoW MERGE (or MOR delta append) of an LWW-collapsed
     batch, committed to ``ref`` instead of ``_current``. Returns the
-    staged snapshot dict. Same exactly-once ledger semantics as a direct
-    commit: a batch_key already in the CURRENT ledger stages nothing and
-    returns the current snapshot."""
+    staged snapshot dict.
+
+    Staging onto a ref that already holds a snapshot CHAINS: the new
+    commit merges against the staged state (a branch — multiple batches
+    audited and published together as one fast-forward). The CAS guards
+    the branch base throughout, and exactly-once applies against the
+    BRANCH ledger: a batch_key already staged on this ref (or published
+    on the chain's base) no-ops."""
+    onto = store.read_ref(table.root, ref)
     if mode == "mor":
-        return table.commit_delta(spark, batch_final, batch_key, ref=ref)
-    return table.commit_merge(spark, batch_final, batch_key, ref=ref)
+        return table.commit_delta(spark, batch_final, batch_key, ref=ref,
+                                  onto=onto)
+    return table.commit_merge(spark, batch_final, batch_key, ref=ref,
+                              onto=onto)
 
 
 def staged(table: CdcTable, ref: str = "audit") -> dict | None:

@@ -105,3 +105,40 @@ def test_apply_batch_patch_mode_end_to_end(spark, tmp_path):
     with pytest.raises(ValueError, match="mode='cow'"):
         apply_batch(spark, t, ev(spark, [("r1", "a", 9, None, "it", "U")]),
                     "b2", image="patch", mode="mor")
+
+
+def test_stream_to_table_patch_mode_across_epochs(spark, tmp_path):
+    """Cross-epoch patch preservation: epoch 1 sets (content, lang);
+    epoch 2 patches content only — lang must survive the second epoch's
+    row-replacement-free merge."""
+    import os
+    import time
+
+    from cdc.stream.pipeline import stream_to_table
+    from cdc.table.table import CdcTable
+
+    ddl = ("lsn bigint, ts timestamp, op string, repo string, path string, "
+           "commit string, lang string, content string, schema_version int, "
+           "batch_id bigint, size_bytes bigint, score double")
+    log = str(tmp_path / "log")
+    os.makedirs(f"{log}/v=3")
+    t0 = "2026-01-01 00:00:00"
+
+    def write(rows, name):
+        (spark.createDataFrame(rows, ddl)
+         .withColumn("ts", F.to_timestamp(F.lit(t0)))
+         .coalesce(1).write.mode("append").parquet(f"{log}/v=3"))
+
+    write([(1, None, "U", "r1", "a", "c1", "en", "v1", 3, 0, 10, 0.5),
+           (2, None, "U", "r1", "b", "c2", "de", "w1", 3, 0, 10, 0.5)], "e1")
+    time.sleep(1.2)  # distinct mtimes -> deterministic epoch order
+    write([(5, None, "U", "r1", "a", "c3", None, "v2", 3, 1, 10, 0.5)], "e2")
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    stream_to_table(spark, log, t, metrics=False, normalize=False,
+                    max_files_per_trigger=1, image="patch")
+    got = {(r.repo, r.path): (r.content, r.lang, r._lsn)
+           for r in t.read(spark).collect()}
+    assert got[("r1", "a")] == ("v2", "en", 5)   # lang survived the patch
+    assert got[("r1", "b")] == ("w1", "de", 2)
+    assert len(t.snapshots()) >= 2               # really crossed epochs

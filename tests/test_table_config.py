@@ -86,3 +86,66 @@ def test_repartition_evolves_spec_and_rollback_restores_it(spark, tmp_path):
     assert o.n_partitions == 4
     assert contents(o.read(spark)) == contents(t2.read(spark, snapshot_id=before))
     assert o.lookup(spark, repo="r1", path="d").collect()[0].content == "y1"
+
+
+def test_tags_pin_snapshots_and_survive_expiry(spark, tmp_path):
+    from cdc.meta import store
+    from cdc.table.maintenance import expire_snapshots
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", "U")]), "b0",
+                normalize=False, metrics=False)
+    pinned = t.tag("audited-v1")
+    for i in range(4):
+        apply_batch(spark, t, ev(spark, [("r1", "a", 10 + i, f"v{i}", "U")]),
+                    f"b{i+1}", normalize=False, metrics=False)
+    expired = expire_snapshots(t, keep_last=2)
+    assert pinned not in expired and expired          # others did expire
+    assert contents(t.read(spark, tag="audited-v1")) == {("r1", "a"): "v1"}
+    assert t.tags() == {"audited-v1": pinned}
+    # immutable unless replace=True; bad names rejected
+    with pytest.raises(ValueError):
+        t.tag("audited-v1")
+    t.tag("audited-v1", replace=True)
+    with pytest.raises(ValueError):
+        t.tag("_sneaky")
+    with pytest.raises(ValueError):
+        t.read(spark, tag="audited-v1", snapshot_id=pinned)
+    assert store.drop_tag(t.root, "audited-v1")
+    assert t.tags() == {}
+
+
+def test_incremental_compaction_rewrites_only_fragmented_parts(spark, tmp_path):
+    from cdc.table.maintenance import compact
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=8, layout="key_hash")
+    base = [(f"r{i}", f"p{i}", i + 1, f"v{i}", "U") for i in range(24)]
+    apply_batch(spark, t, ev(spark, base), "b0",
+                normalize=False, metrics=False)
+    # a few MOR deltas fragment the partitions their keys hash to
+    apply_batch(spark, t, ev(spark, [("r1", "p1", 100, "n1", "U")]), "b1",
+                normalize=False, metrics=False, mode="mor")
+    apply_batch(spark, t, ev(spark, [("r2", "p2", 101, "n2", "U")]), "b2",
+                normalize=False, metrics=False, mode="mor")
+    before = contents(t.read(spark))
+    assert before[("r1", "p1")] == "n1"
+    parent = t.current_snapshot()
+    frag = {int(f["part"]) for f in parent["files"] if f.get("kind") == "delta"}
+    untouched_paths = {f["path"] for f in parent["files"]
+                      if int(f["part"]) not in frag}
+    assert frag and untouched_paths
+
+    snap = compact(spark, t, max_files_per_partition=1)
+    # only the fragmented partitions were rewritten: every untouched
+    # file is carried BY REFERENCE (same path), no delta layers remain
+    after_paths = {f["path"] for f in snap["files"]}
+    assert untouched_paths <= after_paths
+    assert all(f.get("kind") != "delta" for f in snap["files"])
+    rewritten = {f["path"] for f in snap["files"] if f["origin"] == "added"}
+    assert rewritten and rewritten.isdisjoint(untouched_paths)
+    assert contents(t.read(spark)) == before
+    # already-compacted table: auto-select finds nothing -> no-op commit
+    assert compact(spark, t, max_files_per_partition=1)["snapshot_id"] == \
+        snap["snapshot_id"]
+    with pytest.raises(ValueError):
+        compact(spark, t, parts=[0], max_files_per_partition=1)

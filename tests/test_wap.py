@@ -139,3 +139,66 @@ def test_quality_check_counts_and_violation_rows(spark):
                quality.enforce(df.limit(0), checks, unique=("repo",)).values())
     with pytest.raises(quality.ExpectationError):
         quality.enforce(df, checks)
+
+
+def test_branch_chain_stage_publish(spark, tmp_path):
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", "U")]),
+                "b0", normalize=False, metrics=False)
+    # two chained stages: the second merges AGAINST the first's state
+    wap.stage(spark, t, ev(spark, [("r1", "b", 5, "w1", "U")]), "b1")
+    head = wap.stage(spark, t, ev(spark, [("r1", "b", 6, "w2", "U"),
+                                          ("r2", "x", 7, "z1", "U")]), "b2")
+    assert contents(t.read(spark)) == {("r1", "a"): "v1"}   # main untouched
+    assert contents(wap.read_staged(spark, t)) == {
+        ("r1", "a"): "v1", ("r1", "b"): "w2", ("r2", "x"): "z1"}
+    # exactly-once against the BRANCH ledger: restaging b1 no-ops
+    assert wap.stage(spark, t, ev(spark, [("r1", "b", 9, "dup", "U")]),
+                     "b1")["snapshot_id"] == head["snapshot_id"]
+    pub = wap.publish(t)                                    # fast-forward
+    assert pub["snapshot_id"] == head["snapshot_id"]
+    assert t.is_committed("b1") and t.is_committed("b2")
+    assert contents(t.read(spark)) == {
+        ("r1", "a"): "v1", ("r1", "b"): "w2", ("r2", "x"): "z1"}
+    # chain history is intact after publish (parent links on main line)
+    assert contents(t.read(spark, snapshot_id=pub["parent_id"])) == {
+        ("r1", "a"): "v1", ("r1", "b"): "w1"}
+
+
+def test_branch_abandon_drops_whole_chain(spark, tmp_path):
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", "U")]),
+                "b0", normalize=False, metrics=False)
+    s1 = wap.stage(spark, t, ev(spark, [("r1", "b", 5, "w1", "U")]), "b1")
+    s2 = wap.stage(spark, t, ev(spark, [("r2", "x", 6, "z1", "U")]), "b2")
+    # a main-line commit invalidates the branch base -> publish CAS fails
+    apply_batch(spark, t, ev(spark, [("r1", "a", 9, "v2", "U")]),
+                "bm", normalize=False, metrics=False)
+    with pytest.raises(CommitConflictError):
+        wap.publish(t)
+    assert wap.abandon(t)
+    # BOTH chain snapshots' metadata gone; vacuum reclaims both data dirs
+    ids = {s["snapshot_id"] for s in t.snapshots()}
+    assert s1["snapshot_id"] not in ids and s2["snapshot_id"] not in ids
+    removed = vacuum_orphans(t)
+    for s in (s1, s2):
+        name = s["files"][0]["path"].split("/", 2)[1]
+        assert name in removed
+    assert contents(t.read(spark)) == {("r1", "a"): "v2"}
+
+
+def test_restage_after_publish_uses_fresh_fork_point(spark, tmp_path):
+    """Regression: a published snapshot keeps its branch_base in history;
+    a FRESH stage forking from it must CAS on the fork point itself, not
+    inherit that stale base (which made every post-publish stage fail)."""
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", "U")]),
+                "b0", normalize=False, metrics=False)
+    wap.stage(spark, t, ev(spark, [("r1", "b", 5, "w1", "U")]), "b1")
+    wap.publish(t)
+    # second WAP cycle on the now-advanced main line
+    wap.stage(spark, t, ev(spark, [("r2", "x", 9, "z1", "U")]), "b2")
+    pub = wap.publish(t)
+    assert pub["branch_base"] == pub["parent_id"]
+    assert contents(t.read(spark)) == {
+        ("r1", "a"): "v1", ("r1", "b"): "w1", ("r2", "x"): "z1"}
