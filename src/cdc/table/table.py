@@ -207,20 +207,45 @@ class CdcTable:
     def tags(self) -> dict[str, int]:
         return store.list_tags(self.root)
 
+    def _resolve_as_of(self, as_of) -> int:
+        """TIMESTAMP AS OF resolution: the newest snapshot whose
+        ``committed_ts`` <= ``as_of`` (ISO string or datetime; naive
+        datetimes are taken as UTC). Driver-side over the snapshot JSONs
+        — O(retained history), no data read."""
+        if isinstance(as_of, datetime):
+            if as_of.tzinfo is None:
+                as_of = as_of.replace(tzinfo=timezone.utc)
+            as_of = as_of.astimezone(timezone.utc).isoformat()
+        best = None
+        for s in self.snapshots():
+            if s["committed_ts"] <= as_of and (
+                    best is None or s["snapshot_id"] > best["snapshot_id"]):
+                best = s
+        if best is None:
+            raise ValueError(
+                f"no snapshot committed at or before {as_of!r} "
+                f"(history may have been expired)")
+        return best["snapshot_id"]
+
     def read(self, spark: SparkSession, parts: Sequence[int] | None = None,
              snapshot_id: int | None = None,
              include_deleted: bool = False,
-             tag: str | None = None) -> DataFrame | None:
+             tag: str | None = None,
+             as_of=None) -> DataFrame | None:
         """Manifest-resolved read. ``parts`` prunes at the manifest level —
         Spark never sees files of untouched partitions. Files written under
         older schemas are read with their own recorded DDL, then
         unionByName(allowMissingColumns) + cast to the snapshot schema
         (U1 read-path schema evolution). Delete tombstones are filtered
         unless ``include_deleted`` (the merge path reads them so late
-        lower-LSN updates lose to the delete)."""
+        lower-LSN updates lose to the delete). Time travel: exactly one
+        of ``snapshot_id`` (VERSION AS OF), ``tag`` (named pin) or
+        ``as_of`` (TIMESTAMP AS OF)."""
+        if sum(x is not None for x in (snapshot_id, tag, as_of)) > 1:
+            raise ValueError("pass only one of snapshot_id / tag / as_of")
+        if as_of is not None:
+            snapshot_id = self._resolve_as_of(as_of)
         if tag is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id or tag, not both")
             snapshot_id = store.read_tag_id(self.root, tag)
         snap = (store.read_snapshot(self.root, snapshot_id) if snapshot_id is not None
                 else self.current_snapshot())

@@ -149,3 +149,31 @@ def test_incremental_compaction_rewrites_only_fragmented_parts(spark, tmp_path):
         snap["snapshot_id"]
     with pytest.raises(ValueError):
         compact(spark, t, parts=[0], max_files_per_partition=1)
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    snaps = []
+    for i in range(3):
+        apply_batch(spark, t, ev(spark, [("r1", "a", i + 1, f"v{i}", "U")]),
+                    f"b{i}", normalize=False, metrics=False)
+        snaps.append(t.current_snapshot())
+    # at each commit's own timestamp, that commit's state is visible
+    for i, s in enumerate(snaps):
+        assert contents(t.read(spark, as_of=s["committed_ts"])) == \
+            {("r1", "a"): f"v{i}"}
+    # datetime input (naive == UTC) and far-future resolve too
+    ts1 = datetime.fromisoformat(snaps[1]["committed_ts"])
+    assert contents(t.read(spark, as_of=ts1.replace(tzinfo=None))) == \
+        {("r1", "a"): "v1"}
+    assert contents(t.read(spark,
+                           as_of=datetime(2100, 1, 1,
+                                          tzinfo=timezone.utc))) == \
+        {("r1", "a"): "v2"}
+    with pytest.raises(ValueError, match="no snapshot committed"):
+        t.read(spark, as_of="1999-01-01T00:00:00+00:00")
+    with pytest.raises(ValueError, match="only one of"):
+        t.read(spark, as_of=snaps[0]["committed_ts"],
+               snapshot_id=snaps[0]["snapshot_id"])
