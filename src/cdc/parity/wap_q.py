@@ -141,3 +141,58 @@ def wap_quality_gate(spark, sf_dir):
     wap.audit_and_publish(spark, t, predicates=checks)
 
     return t.read(spark).select("repo", "path", "content")
+
+
+@q("dml_update_delete", """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,
+         event_id AS lsn,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS content,
+         value AS val
+  FROM events
+),
+state AS (
+  SELECT repo, path, content, val FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY lsn DESC) AS rn
+    FROM ev) WHERE rn = 1
+),
+upd AS (
+  SELECT repo, path,
+         CASE WHEN val > 300 THEN content || '+hot' ELSE content END
+           AS content,
+         CASE WHEN val > 300 THEN val * 2 ELSE val END AS val
+  FROM state
+)
+SELECT repo, path, content, val FROM upd WHERE path <> 'error'
+""")
+def dml_update_delete(spark, sf_dir):
+    """Predicate DML over the table (cdc/table/mutate.py): ingest the log,
+    then ``UPDATE ... SET content = content || '+hot', val = val * 2
+    WHERE val > 300`` and ``DELETE WHERE path = 'error'`` — both as MOR
+    commits (only matched rows written; readers reconcile). The oracle
+    recomputes LWW state and applies the same UPDATE-over-old-row /
+    DELETE algebra, so statement-LSN stamping, tombstone semantics and
+    the MOR read reconcile are all hash-checked."""
+    from cdc.pipeline import apply_batch
+    from cdc.table.mutate import delete_where, update_where
+    from cdc.table.table import CdcTable
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.col("event_type").alias("path"),
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.lit("U").alias("op"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("content"),
+        F.col("value").alias("val"),
+        F.lit(0).alias("batch_id"))
+
+    work = _scratch("cdc_dml_q")
+    t = CdcTable(f"{work}/t", n_partitions=8, layout="key_hash")
+    apply_batch(spark, t, ev, "b0", normalize=False, metrics=False)
+    update_where(spark, t, "val > 300",
+                 {"content": "concat(content, '+hot')", "val": "val * 2"},
+                 "u1", mode="mor")
+    delete_where(spark, t, "path = 'error'", "d1", mode="mor")
+    return t.read(spark).select("repo", "path", "content", "val")
