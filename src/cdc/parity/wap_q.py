@@ -196,3 +196,46 @@ def dml_update_delete(spark, sf_dir):
                  "u1", mode="mor")
     delete_where(spark, t, "path = 'error'", "d1", mode="mor")
     return t.read(spark).select("repo", "path", "content", "val")
+
+
+@q("stats_prune_read", """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,
+         event_id AS lsn, value AS val
+  FROM events
+),
+state AS (
+  SELECT repo, path, val FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY lsn DESC) AS rn
+    FROM ev) WHERE rn = 1
+)
+SELECT repo, path, val FROM state WHERE val >= 150
+""")
+def stats_prune_read(spark, sf_dir):
+    """Manifest column-stats data skipping (``stats_cols`` +
+    ``read(prune=...)``): ingest the log into a table recording per-file
+    val min/max, then read with ``prune={'val': (150, None)}`` — files
+    whose recorded range cant reach 150 are never handed to Spark — and
+    apply the exact predicate on top (superset semantics). The oracle is
+    the plain filtered LWW state, so a wrongly-skipped file would lose
+    rows and break the hash."""
+    from cdc.pipeline import apply_batch
+    from cdc.table.table import CdcTable
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.col("event_type").alias("path"),
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.lit("U").alias("op"),
+        F.col("value").alias("val"),
+        F.lit(0).alias("batch_id"))
+
+    work = _scratch("cdc_prune_q")
+    t = CdcTable(f"{work}/t", n_partitions=8, layout="key_hash",
+                 stats_cols=("val",))
+    apply_batch(spark, t, ev, "b0", normalize=False, metrics=False)
+    return (t.read(spark, prune={"val": (150, None)})
+            .filter(F.col("val") >= 150)
+            .select("repo", "path", "val"))

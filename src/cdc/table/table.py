@@ -15,8 +15,8 @@ from __future__ import annotations
 
 import os
 import uuid
-from collections.abc import Sequence
-from datetime import datetime, timezone
+from collections.abc import Mapping, Sequence
+from datetime import date, datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +26,32 @@ from cdc import merge as M
 from cdc.meta import store
 
 PART_COL = "part"
+
+
+def _stat_norm(v):
+    """Canonicalize a min/max stat for the JSON manifest: timestamps to
+    naive-UTC ISO strings ('T' separator — what comparisons key on),
+    numbers and strings as-is."""
+    if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    return v
+
+
+def _prune_bound(v):
+    """Canonicalize a user prune bound the same way stats were stored:
+    datetimes (or ISO strings that parse as one) to naive-UTC isoformat."""
+    if isinstance(v, (datetime, date)):
+        return _stat_norm(v)
+    if isinstance(v, str):
+        try:
+            return _stat_norm(datetime.fromisoformat(v))
+        except ValueError:
+            return v
+    return v
 
 
 def part_expr(repo_col: str, n_partitions: int):
@@ -68,7 +94,8 @@ class CdcTable:
 
     def __init__(self, root: str, key_cols: Sequence[str] = ("repo", "path"),
                  n_partitions: int = 16, files_per_partition: int = 1,
-                 layout: str = "repo_hash", bloom_filters: bool | None = None):
+                 layout: str = "repo_hash", bloom_filters: bool | None = None,
+                 stats_cols: Sequence[str] = ()):
         """``layout``:
         - 'repo_hash' — part = pmod(xxhash64(repo), P): partition pruning
           by repo; the committer repartitions on (part, file_group).
@@ -90,6 +117,11 @@ class CdcTable:
             # env override so spark-submit jobs can A/B without code changes
             bloom_filters = os.environ.get("CDC_BLOOM_FILTERS", "1") != "0"
         self.bloom_filters = bloom_filters
+        # extra manifest min/max stats per data file (Iceberg data-skipping
+        # analog): a write-time preference, NOT layout identity — readers
+        # opened without it just see (and prune on) whatever the writer
+        # recorded. Columns absent from a frame are skipped silently.
+        self.stats_cols = tuple(stats_cols)
         # writer-unique staging suffix: concurrent writers (or a CAS-retry
         # racing another committer) can hold the SAME next snapshot id —
         # without this, both would stage into one deterministic dir and
@@ -231,7 +263,8 @@ class CdcTable:
              snapshot_id: int | None = None,
              include_deleted: bool = False,
              tag: str | None = None,
-             as_of=None) -> DataFrame | None:
+             as_of=None,
+             prune: Mapping[str, tuple] | None = None) -> DataFrame | None:
         """Manifest-resolved read. ``parts`` prunes at the manifest level —
         Spark never sees files of untouched partitions. Files written under
         older schemas are read with their own recorded DDL, then
@@ -240,7 +273,16 @@ class CdcTable:
         unless ``include_deleted`` (the merge path reads them so late
         lower-LSN updates lose to the delete). Time travel: exactly one
         of ``snapshot_id`` (VERSION AS OF), ``tag`` (named pin) or
-        ``as_of`` (TIMESTAMP AS OF)."""
+        ``as_of`` (TIMESTAMP AS OF).
+
+        ``prune`` — manifest-level data skipping: ``{col: (lo, hi)}``
+        drops files whose recorded min/max range (``stats_cols`` at write
+        time) can't intersect [lo, hi] (None = open bound). SUPERSET
+        semantics: the caller still applies the exact predicate — prune
+        only guarantees no matching row is lost. Files without stats for
+        a column are kept, and partitions carrying delta layers never
+        prune (a skipped delta winner would resurrect a stale base row);
+        compaction folds deltas, restoring skipping."""
         if sum(x is not None for x in (snapshot_id, tag, as_of)) > 1:
             raise ValueError("pass only one of snapshot_id / tag / as_of")
         if as_of is not None:
@@ -255,6 +297,29 @@ class CdcTable:
         if parts is not None:
             wanted = set(int(p) for p in parts)
             files = [f for f in files if int(f["part"]) in wanted]
+        if prune:
+            bounds = {c: (_prune_bound(lo), _prune_bound(hi))
+                      for c, (lo, hi) in prune.items()}
+            delta_parts = {int(f["part"]) for f in files
+                           if f.get("kind") == "delta"}
+
+            def keep(f) -> bool:
+                if int(f["part"]) in delta_parts:
+                    return True
+                stats = f.get("stats") or {}
+                for c, (lo, hi) in bounds.items():
+                    st = stats.get(c)
+                    if st is None:
+                        continue
+                    try:
+                        if ((hi is not None and st[0] > hi)
+                                or (lo is not None and st[1] < lo)):
+                            return False
+                    except TypeError:  # incomparable bound type: keep
+                        continue
+                return True
+
+            files = [f for f in files if keep(f)]
         target = T.StructType.fromDDL(snap["schema_ddl"])
         has_delta = any(f.get("kind") == "delta" for f in files)
         if not files:
@@ -349,6 +414,23 @@ class CdcTable:
         rows sorted by key within files for read locality (O2)."""
         rel_dir = f"data/snap-{snapshot_id:012d}-{self.writer_token}"
         out_dir = os.path.join(self.root, rel_dir)
+        # INT64-micros timestamps (the Iceberg/Delta-mandated encoding):
+        # Spark's INT96 default writes NO parquet min/max statistics, which
+        # would silently disable both row-group skipping and manifest
+        # stats_cols on timestamp columns. Session conf (no write option
+        # exists) — set for the commit, restored after.
+        sess_conf = df.sparkSession.conf
+        ts_key = "spark.sql.parquet.outputTimestampType"
+        old_ts_type = sess_conf.get(ts_key, None)
+        sess_conf.set(ts_key, "TIMESTAMP_MICROS")
+        try:
+            return self._write_data_inner(df, rel_dir, out_dir, kind)
+        finally:
+            (sess_conf.set(ts_key, old_ts_type) if old_ts_type
+             else sess_conf.unset(ts_key))
+
+    def _write_data_inner(self, df: DataFrame, rel_dir: str, out_dir: str,
+                          kind: str) -> tuple[list[dict], str]:
         # per-key-column parquet bloom filters: point lookups (``lookup``)
         # skip row groups whose sorted-key min/max straddles the probe but
         # whose bloom filter rules it out — cheap at write time, O(row
@@ -393,7 +475,10 @@ class CdcTable:
         import pyarrow.parquet as pq
 
         ddl = schema_ddl(df.schema, drop=(PART_COL,))
-        lsn_idx = [f.name for f in df.schema.fields if f.name != PART_COL].index("_lsn")
+        data_names = [f.name for f in df.schema.fields if f.name != PART_COL]
+        lsn_idx = data_names.index("_lsn")
+        stat_idx = {c: data_names.index(c) for c in self.stats_cols
+                    if c in data_names}
 
         targets = []
         for dname in sorted(os.listdir(out_dir)):
@@ -408,13 +493,18 @@ class CdcTable:
         def footer_entry(t):
             p, dname, name, full = t
             meta = pq.ParquetFile(full).metadata
-            lo, hi = None, None
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(lsn_idx).statistics
-                if st is not None and st.has_min_max:
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-            return {
+
+            def minmax(idx):
+                lo, hi = None, None
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                return lo, hi
+
+            lo, hi = minmax(lsn_idx)
+            entry = {
                 "path": f"{rel_dir}/{dname}/{name}",
                 "part": p,
                 "rows": int(meta.num_rows),
@@ -424,6 +514,15 @@ class CdcTable:
                 "origin": "added",
                 "kind": kind,
             }
+            if stat_idx:
+                stats = {}
+                for c, idx in stat_idx.items():
+                    clo, chi = minmax(idx)
+                    if clo is not None:
+                        stats[c] = [_stat_norm(clo), _stat_norm(chi)]
+                if stats:
+                    entry["stats"] = stats
+            return entry
 
         if len(targets) <= 2:
             entries = [footer_entry(t) for t in targets]
@@ -441,11 +540,17 @@ class CdcTable:
 
     def _stats_via_spark(self, spark: SparkSession, out_dir: str,
                          rel_dir: str, ddl: str, kind: str) -> list[dict]:
-        stats = (spark.read.parquet(out_dir)
-                 .select(F.input_file_name().alias("f"), "_lsn", PART_COL)
+        scan = spark.read.parquet(out_dir)
+        extra = [c for c in self.stats_cols if c in scan.columns]
+        aggs = [F.count(F.lit(1)).alias("rows"),
+                F.min("_lsn").alias("lo"), F.max("_lsn").alias("hi")]
+        for c in extra:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        stats = (scan
+                 .select(F.input_file_name().alias("f"), "_lsn", PART_COL,
+                         *extra)
                  .groupBy("f", PART_COL)
-                 .agg(F.count(F.lit(1)).alias("rows"),
-                      F.min("_lsn").alias("lo"), F.max("_lsn").alias("hi"))
+                 .agg(*aggs)
                  .collect())
         from urllib.parse import unquote, urlparse
 
@@ -457,7 +562,7 @@ class CdcTable:
             fpath = unquote(urlparse(r["f"]).path)
             idx = fpath.index(out_dir)
             rel = fpath[idx + len(out_dir):].lstrip("/")
-            entries.append({
+            entry = {
                 "path": f"{rel_dir}/{rel}",
                 "part": int(r[PART_COL]),
                 "rows": int(r["rows"]),
@@ -466,7 +571,13 @@ class CdcTable:
                 "columns": ddl,
                 "origin": "added",
                 "kind": kind,
-            })
+            }
+            col_stats = {c: [_stat_norm(r[f"_lo_{c}"]),
+                             _stat_norm(r[f"_hi_{c}"])]
+                         for c in extra if r[f"_lo_{c}"] is not None}
+            if col_stats:
+                entry["stats"] = col_stats
+            entries.append(entry)
         return entries
 
     def commit_delta(self, spark: SparkSession, batch_final: DataFrame,
