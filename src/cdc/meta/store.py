@@ -407,6 +407,115 @@ def new_snapshot(
     }
 
 
+# -- multi-table atomic publish (cross-table transaction) -------------------
+
+TXN_INTENT = "_txn-intent.json"
+
+
+def publish_refs_atomic(
+        participants: "list[tuple[str, str]]") -> dict[str, dict[str, Any]]:
+    """Atomically fast-forward ``_current`` on SEVERAL tables to their
+    staged refs — one logical commit spanning N tables (a fact table plus
+    its derived aggregates, the multi-table-transaction case).
+
+    Protocol (the POSIX analog of a catalog-level two-phase commit):
+    1. take every table's commit lock in sorted-root order — one global
+       acquisition order makes deadlock impossible;
+    2. validate EVERY CAS (staged chain's branch base == that table's
+       current snapshot) before moving anything — any failure aborts
+       with every ref intact, nothing published;
+    3. fsync one INTENT file in the coordinator's meta dir (the
+       lexicographically smallest root) naming every pointer swap;
+    4. perform the per-table swaps (each individually atomic);
+    5. remove the intent.
+    A crash between (3) and (5) is rolled FORWARD by ``recover_txn``
+    (or rejected loudly by the next ``publish_refs_atomic`` on the same
+    coordinator): every swap an intent names was validated under the
+    locks, so completing it is always correct. Readers of an individual
+    table never see a torn snapshot — only the cross-table SET is torn
+    until recovery, the documented gap a production catalog CAS closes.
+
+    Returns {root: published snapshot dict}.
+    """
+    roots = [r for r, _ in participants]
+    if len(set(roots)) != len(roots):
+        raise ValueError("duplicate table roots in one transaction")
+    parts = sorted(participants)
+    held: list[tuple[str, int]] = []
+    try:
+        for root, _ in parts:
+            held.append((root, _acquire_commit_lock(root)))
+        coord = parts[0][0]
+        intent_path = os.path.join(meta_dir(coord), TXN_INTENT)
+        if os.path.exists(intent_path):
+            raise CommitConflictError(
+                f"unfinished multi-table publish intent at {intent_path} — "
+                f"run recover_txn on the same tables first")
+        plan = []
+        for root, ref in parts:
+            ptr = os.path.join(meta_dir(root), _ref_name(ref))
+            if not os.path.exists(ptr):
+                raise ValueError(f"no staged ref {ref!r} at {root}")
+            with open(ptr) as f:
+                name = f.read().strip()
+            snap = read_snapshot_file(os.path.join(meta_dir(root), name))
+            base = snap.get("branch_base", snap["parent_id"])
+            cur = current_snapshot_id(root)
+            if cur != base:
+                raise CommitConflictError(
+                    f"{root}: table advanced to snapshot {cur} since ref "
+                    f"{ref!r} was staged on base {base} — nothing published")
+            plan.append({"root": root, "ref": ref, "name": name,
+                         "snap": snap})
+        _fsync_json(intent_path, {"swaps": [
+            {"root": p["root"], "ref": p["ref"], "name": p["name"]}
+            for p in plan]})
+        for p in plan:
+            _complete_swap(p["root"], p["ref"], p["name"])
+        os.unlink(intent_path)
+        return {p["root"]: p["snap"] for p in plan}
+    finally:
+        for root, fd in held:
+            _release_commit_lock(root, fd)
+
+
+def _complete_swap(root: str, ref: str, name: str) -> None:
+    """One table's publish step, idempotent (re-runnable by recovery)."""
+    _swap_pointer(root, name, CURRENT)
+    try:
+        os.unlink(os.path.join(meta_dir(root), _ref_name(ref)))
+    except OSError:
+        pass
+
+
+def recover_txn(roots: "list[str]") -> bool:
+    """Roll FORWARD a crashed multi-table publish: if the coordinator
+    (smallest root) holds an intent file, complete every swap it names
+    and remove it. Idempotent; False when there is nothing to recover.
+    Call with the same table set that was being published."""
+    if not roots:
+        return False
+    coord = min(roots)
+    intent_path = os.path.join(meta_dir(coord), TXN_INTENT)
+    if not os.path.exists(intent_path):
+        return False
+    held: list[tuple[str, int]] = []
+    try:
+        for root in sorted(set(roots)):
+            held.append((root, _acquire_commit_lock(root)))
+        if not os.path.exists(intent_path):
+            return False  # another recoverer finished while we waited
+        with open(intent_path) as f:
+            intent = json.load(f)
+        for s in intent["swaps"]:
+            _complete_swap(s["root"], s["ref"], s["name"])
+        os.unlink(intent_path)
+        return True
+    finally:
+        for root, fd in held:
+            _release_commit_lock(root, fd)
+
+
 # -- tags: named immutable snapshot pointers (Iceberg tags analog) ----------
 
 def _tag_path(root: str, name: str) -> str:

@@ -198,6 +198,65 @@ def dml_update_delete(spark, sf_dir):
     return t.read(spark).select("repo", "path", "content", "val")
 
 
+@q("txn_multi_table_publish", """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,
+         event_id AS lsn,
+         CAST(user_id % 2 AS VARCHAR) AS tbl,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS content
+  FROM events
+),
+state AS (
+  SELECT tbl, repo, path, content FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY lsn DESC) AS rn
+    FROM ev) WHERE rn = 1
+)
+SELECT tbl, repo, path, content FROM state
+""")
+def txn_multi_table_publish(spark, sf_dir):
+    """Cross-table transaction (wap.publish_all / store.publish_refs_atomic):
+    the log routes to TWO tables (user_id parity), the head batch commits
+    on each main line, both tails stage under refs, and ONE atomic
+    multi-table publish makes them visible together (all CASes validated
+    under all commit locks before any pointer moves). The oracle is the
+    full-log LWW state per routed table, so a lost or torn publish on
+    either table breaks the hash."""
+    from cdc.dedup import last_writer_wins
+    from cdc.pipeline import apply_batch
+    from cdc.table import wap
+    from cdc.table.table import CdcTable
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.col("event_type").alias("path"),
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.lit("U").alias("op"),
+        (F.col("user_id") % 2).cast("string").alias("tbl"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("content"),
+        F.lit(0).alias("batch_id"))
+
+    work = _scratch("cdc_txn_q")
+    tables = {}
+    for k in ("0", "1"):
+        t = CdcTable(f"{work}/t{k}", n_partitions=4, layout="key_hash")
+        part = ev.filter(F.col("tbl") == k).drop("tbl")
+        apply_batch(spark, t, part.filter(F.col("lsn") < 6000), f"head-{k}",
+                    normalize=False, metrics=False)
+        wap.stage(spark, t,
+                  last_writer_wins(part.filter(F.col("lsn") >= 6000)),
+                  f"tail-{k}")
+        tables[k] = t
+    wap.publish_all([(tables["0"], "audit"), (tables["1"], "audit")])
+    out = None
+    for k, t in tables.items():
+        d = (t.read(spark).withColumn("tbl", F.lit(k))
+             .select("tbl", "repo", "path", "content"))
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 @q("stats_prune_read", """
 WITH ev AS (
   SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,

@@ -76,6 +76,23 @@ def abandon(table: CdcTable, ref: str = "audit") -> bool:
     return store.drop_ref(table.root, ref)
 
 
+def publish_all(pairs: Sequence[tuple[CdcTable, str]]) -> list[dict]:
+    """Atomic MULTI-TABLE publish: fast-forward every (table, ref) pair in
+    one transaction — all CASes validated under all commit locks before
+    any pointer moves, a crash mid-swap rolls forward via the fsynced
+    intent (``wap.recover``). The cross-table consistency primitive: a
+    fact table and its derived aggregates become visible together.
+    Returns published snapshots in input order."""
+    by_root = store.publish_refs_atomic([(t.root, ref) for t, ref in pairs])
+    return [by_root[t.root] for t, _ in pairs]
+
+
+def recover(tables: Sequence[CdcTable]) -> bool:
+    """Complete a crashed ``publish_all`` (roll the intent forward).
+    False when there is nothing to recover."""
+    return store.recover_txn([t.root for t in tables])
+
+
 def audit_and_publish(
     spark: SparkSession,
     table: CdcTable,

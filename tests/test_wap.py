@@ -202,3 +202,73 @@ def test_restage_after_publish_uses_fresh_fork_point(spark, tmp_path):
     assert pub["branch_base"] == pub["parent_id"]
     assert contents(t.read(spark)) == {
         ("r1", "a"): "v1", ("r1", "b"): "w1", ("r2", "x"): "z1"}
+
+
+def test_publish_all_is_all_or_nothing(spark, tmp_path):
+    """Multi-table atomic publish: both tables' staged refs fast-forward
+    together; a CAS failure on ONE table publishes NEITHER."""
+    a = CdcTable(str(tmp_path / "a"), n_partitions=4, layout="key_hash")
+    b = CdcTable(str(tmp_path / "b"), n_partitions=4, layout="key_hash")
+    for t, key in ((a, "a0"), (b, "b0")):
+        apply_batch(spark, t, ev(spark, [("r1", "x", 1, "v1", "U")]), key,
+                    normalize=False, metrics=False)
+    wap.stage(spark, a, ev(spark, [("r1", "y", 5, "w1", "U")]), "a1")
+    wap.stage(spark, b, ev(spark, [("r1", "z", 6, "z1", "U")]), "b1")
+    pa, pb = wap.publish_all([(a, "audit"), (b, "audit")])
+    assert contents(a.read(spark)) == {("r1", "x"): "v1", ("r1", "y"): "w1"}
+    assert contents(b.read(spark)) == {("r1", "x"): "v1", ("r1", "z"): "z1"}
+    assert pa["snapshot_id"] == a.current_snapshot()["snapshot_id"]
+    assert pb["snapshot_id"] == b.current_snapshot()["snapshot_id"]
+
+    # second round: main-line advance on b invalidates the WHOLE txn
+    wap.stage(spark, a, ev(spark, [("r2", "p", 9, "q1", "U")]), "a2")
+    wap.stage(spark, b, ev(spark, [("r2", "p", 9, "q1", "U")]), "b2")
+    apply_batch(spark, b, ev(spark, [("r9", "m", 8, "mm", "U")]), "bm",
+                normalize=False, metrics=False)
+    before_a = a.current_snapshot()["snapshot_id"]
+    before_b = b.current_snapshot()["snapshot_id"]
+    with pytest.raises(CommitConflictError):
+        wap.publish_all([(a, "audit"), (b, "audit")])
+    # NOTHING moved; both refs still staged (retryable after restage)
+    assert a.current_snapshot()["snapshot_id"] == before_a
+    assert b.current_snapshot()["snapshot_id"] == before_b
+    assert wap.staged(a) is not None and wap.staged(b) is not None
+
+
+def test_publish_all_crash_rolls_forward(spark, tmp_path, monkeypatch):
+    """Crash after the intent + first swap: recover() completes the
+    remaining swaps (roll-forward) — never a half-published end state."""
+    from cdc.meta import store as st
+
+    a = CdcTable(str(tmp_path / "a"), n_partitions=4, layout="key_hash")
+    b = CdcTable(str(tmp_path / "b"), n_partitions=4, layout="key_hash")
+    for t, key in ((a, "a0"), (b, "b0")):
+        apply_batch(spark, t, ev(spark, [("r1", "x", 1, "v1", "U")]), key,
+                    normalize=False, metrics=False)
+    wap.stage(spark, a, ev(spark, [("r1", "y", 5, "w1", "U")]), "a1")
+    wap.stage(spark, b, ev(spark, [("r1", "z", 6, "z1", "U")]), "b1")
+
+    real = st._complete_swap
+    calls = {"n": 0}
+
+    def crashing(root, ref, name):
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash mid-publish")
+        calls["n"] += 1
+        real(root, ref, name)
+
+    monkeypatch.setattr(st, "_complete_swap", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        wap.publish_all([(a, "audit"), (b, "audit")])
+    monkeypatch.setattr(st, "_complete_swap", real)
+
+    # intent survives the crash; a fresh publish refuses until recovery
+    wap.stage(spark, a, ev(spark, [("r3", "n", 7, "x", "U")]), "nope")
+    with pytest.raises(CommitConflictError, match="recover_txn"):
+        wap.publish_all([(a, "nope")])
+    assert wap.recover([a, b])
+    assert not wap.recover([a, b])          # idempotent no-op second time
+    # BOTH tables ended published, including the one whose swap crashed
+    assert contents(a.read(spark)) == {("r1", "x"): "v1", ("r1", "y"): "w1"}
+    assert contents(b.read(spark)) == {("r1", "x"): "v1", ("r1", "z"): "z1"}
+    assert wap.staged(a, "audit") is None and wap.staged(b, "audit") is None
