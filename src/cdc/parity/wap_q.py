@@ -198,6 +198,50 @@ def dml_update_delete(spark, sf_dir):
     return t.read(spark).select("repo", "path", "content", "val")
 
 
+@q("src_cdctable_read", """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS content
+  FROM events
+),
+state AS (
+  SELECT repo, path, content FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY lsn DESC) AS rn
+    FROM ev) WHERE rn = 1 AND op <> 'D'
+)
+SELECT repo, path, content FROM state
+""")
+def src_cdctable_read(spark, sf_dir):
+    """The ``cdctable`` Spark 4 Python DataSource (cdc/spark_source.py):
+    ingest the log, then read the table back through
+    ``spark.read.format('cdctable')`` — manifest-driven file partitions,
+    executor-side pyarrow Arrow-batch reads, tombstones filtered — and
+    hash-compare against the oracle's LWW state. Exercises the
+    session-less DDL→arrow schema path and the per-file read alignment."""
+    from cdc.pipeline import apply_batch
+    from cdc.spark_source import CdcTableDataSource
+    from cdc.table.table import CdcTable
+
+    spark.dataSource.register(CdcTableDataSource)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.col("event_type").alias("path"),
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("content"),
+        F.lit(0).alias("batch_id"))
+
+    work = _scratch("cdc_src_q")
+    t = CdcTable(f"{work}/t", n_partitions=8, layout="key_hash")
+    apply_batch(spark, t, ev, "b0", normalize=False, metrics=False)
+    return (spark.read.format("cdctable").option("root", t.root).load()
+            .select("repo", "path", "content"))
+
+
 @q("txn_multi_table_publish", """
 WITH ev AS (
   SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,

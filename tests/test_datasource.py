@@ -1,0 +1,111 @@
+"""The ``cdctable`` Spark 4 Python DataSource (cdc/spark_source.py):
+batch snapshot reads and the streaming change-tail whose offsets are
+snapshot ids."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc.pipeline import apply_batch
+from cdc.spark_source import CdcStreamReader, CdcTableDataSource
+from cdc.table.table import CdcTable
+
+
+def ev(spark, rows, batch_id=0):
+    """rows: (repo, path, lsn, content, op)"""
+    return (spark.createDataFrame(
+                rows, "repo string, path string, lsn long, "
+                      "content string, op string")
+            .select("*",
+                    F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+                    F.lit(batch_id).alias("batch_id")))
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    spark.dataSource.register(CdcTableDataSource)
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", "U"),
+                                     ("r2", "b", 2, "w1", "U")]), "b0",
+                normalize=False, metrics=False)
+    apply_batch(spark, t, ev(spark, [("r1", "a", 5, "v2", "U"),
+                                     ("r3", "c", 6, "x1", "U")]), "b1",
+                normalize=False, metrics=False)
+    apply_batch(spark, t, ev(spark, [("r2", "b", 9, None, "D")]), "b2",
+                normalize=False, metrics=False)
+    return t
+
+
+def rows_of(df):
+    return sorted((r.repo, r.path, r.content or "", r._lsn)
+                  for r in df.collect())
+
+
+def test_batch_read_matches_table_read(spark, table):
+    df = spark.read.format("cdctable").option("root", table.root).load()
+    assert rows_of(df) == rows_of(table.read(spark))
+    sid = table.current_snapshot()["snapshot_id"]
+    assert {r._commit_snapshot for r in df.collect()} == {sid}
+    # tombstones surface with include_deleted; time travel via snapshot_id
+    dd = (spark.read.format("cdctable").option("root", table.root)
+          .option("include_deleted", "true").load())
+    assert ("r2", "b") in {(r.repo, r.path) for r in dd.collect()}
+    old = (spark.read.format("cdctable").option("root", table.root)
+           .option("snapshot_id", "1").load())
+    assert rows_of(old) == rows_of(table.read(spark, snapshot_id=1))
+
+
+def test_batch_read_refuses_delta_layers(spark, table):
+    apply_batch(spark, table, ev(spark, [("r9", "z", 20, "m", "U")]), "bm",
+                normalize=False, metrics=False, mode="mor")
+    with pytest.raises(Exception, match="delta layers"):
+        (spark.read.format("cdctable").option("root", table.root)
+         .load().collect())
+
+
+def test_stream_emits_per_commit_change_rows(spark, table):
+    q = (spark.readStream.format("cdctable").option("root", table.root)
+         .load()
+         .writeStream.format("memory").queryName("cdc_feed")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.repo, r.path, r.content or "", r._lsn,
+                  bool(r._deleted or False), r._commit_snapshot)
+                 for r in spark.sql("select * from cdc_feed").collect())
+    assert got == [
+        ("r1", "a", "v1", 1, False, 1),
+        ("r1", "a", "v2", 5, False, 2),
+        ("r2", "b", "", 9, True, 3),     # the delete IS a feed row
+        ("r2", "b", "w1", 2, False, 1),
+        ("r3", "c", "x1", 6, False, 2),
+    ]
+
+
+def test_stream_reader_offset_ranges(spark, table):
+    """Driver-side offset algebra without a streaming query: partitions
+    between two snapshot-id offsets cover exactly the commits in the
+    range, and each partition's rows carry that commit's new lsns."""
+    r = CdcStreamReader(table.root, {"root": table.root})
+    assert r.initialOffset() == {"snapshot_id": 0}
+    assert r.latestOffset() == {"snapshot_id": 3}
+    assert CdcStreamReader(
+        table.root, {"root": table.root,
+                     "start": "latest"}).initialOffset() == {"snapshot_id": 3}
+    parts = r.partitions({"snapshot_id": 1}, {"snapshot_id": 3})
+    sids = {p.value[2] for p in parts}
+    assert sids == {2, 3}
+    rows = [row for p in parts for b in r.read(p)
+            for row in b.to_pylist()]
+    assert sorted((x["repo"], x["path"], x["_lsn"]) for x in rows) == [
+        ("r1", "a", 5), ("r2", "b", 9), ("r3", "c", 6)]
+    # empty range -> no partitions; expired history -> loud failure
+    assert r.partitions({"snapshot_id": 3}, {"snapshot_id": 3}) == []
+    from cdc.table.maintenance import expire_snapshots
+    for i in range(3):
+        apply_batch(spark, table,
+                    ev(spark, [("r1", "a", 30 + i, f"n{i}", "U")]),
+                    f"more{i}", normalize=False, metrics=False)
+    expire_snapshots(table, keep_last=2)
+    with pytest.raises(ValueError, match="history"):
+        r.partitions({"snapshot_id": 0}, {"snapshot_id": 6})
