@@ -18,7 +18,7 @@ path*; LSH is the scale path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc.parity.common import load
@@ -359,3 +359,138 @@ def dedup_simhash_pairs(spark, sf_dir):
                     F.col("b.doc_id").alias("doc_b"),
                     ham.cast("int").alias("hamming"))
             .distinct())
+
+
+# -- training-set assembly ops (split / quota / packing / decontamination) --
+
+_HOLDOUT_PCT = 10   # percent of keys routed to the holdout split
+_DOMAIN_CAP = 15    # max docs kept per source domain (binds at every sf:
+                    # sf0.01 has 25 docs/source)
+_BIN_BUDGET = 256   # token budget per packed training bin
+
+
+def _md5_bucket(col, mod: int):
+    """Deterministic [0, mod) bucket from md5 of a column — the same
+    expression DuckDB spells ('0x' || substr(md5(x),1,8))::BIGINT % mod.
+    Stable across runs, machines and engines (unlike Spark's hash), which
+    is exactly what a train/holdout split must be: re-running the pipeline
+    on a grown corpus never moves an old doc across the split boundary."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("long") % mod).cast("int")
+
+
+@q("txt_split_holdout", f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 100 AS INT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {_HOLDOUT_PCT} THEN 'holdout' ELSE 'train' END AS split
+FROM b
+""")
+def txt_split_holdout(spark, sf_dir):
+    """Deterministic train/holdout split: md5-bucket the stable key and
+    route ~10% to holdout. Pure column expression — linear, no shuffle,
+    and engine-independent (md5, not Spark's murmur3), so the split
+    reproduces anywhere and survives corpus growth."""
+    d = _docs(spark, sf_dir)
+    b = _md5_bucket(F.col("doc_id"), 100)
+    return d.select(
+        "doc_id", b.alias("bucket"),
+        F.when(b < _HOLDOUT_PCT, "holdout").otherwise("train").alias("split"))
+
+
+@q("txt_domain_quota", f"""
+SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= {_DOMAIN_CAP}
+""")
+def txt_domain_quota(spark, sf_dir):
+    """Per-domain quota sampling (domain balancing): keep at most K docs
+    per source, chosen by deterministic md5 priority — a uniform random
+    sample that is reproducible across engines.
+
+    Scale: one window shuffle on the domain key. A skewed mega-domain
+    bottlenecks a single task; the two-stage refinement is the same shape
+    as the salted LWW (cdc/dedup.py): rank within (source, salt) keeping
+    <= K per salt — a superset of the global top-K — then re-rank the
+    survivors. K*S rows per domain reach stage two, never the domain."""
+    d = _docs(spark, sf_dir)
+    w = (Window.partitionBy("source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id")))
+    return (d.select("doc_id", "source",
+                     F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= _DOMAIN_CAP))
+
+
+@q("txt_pack_bins", f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens) // {_BIN_BUDGET} AS BIGINT) AS bin
+FROM t
+""")
+def txt_pack_bins(spark, sf_dir):
+    """Token-budget sequence packing: assign docs to ~256-token training
+    bins per source, in stable doc_id order — bin = floor(prefix_sum /
+    budget), the deterministic streaming form of greedy first-fit packing
+    (each bin may overflow by at most one doc, never underfill by more
+    than the last doc).
+
+    Scale: one running-sum window per source partition; the order column
+    is the stable key, so packing is reproducible under any parallelism."""
+    d = _docs(spark, sf_dir)
+    n = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    t = d.select("doc_id", "source", n.alias("n_tokens"))
+    return t.select(
+        "doc_id", "source", "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / _BIN_BUDGET).alias("bin"))
+
+
+_DOC_SHINGLE_SQL = """
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) g
+)
+"""
+
+
+@q("txt_decontaminate", _DOC_SHINGLE_SQL + """
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh s
+JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0) b USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+""")
+def txt_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any 3-gram
+    shingle with the eval set (here: doc_id % 97 == 0 stands in for the
+    benchmark corpus). Returns contaminated doc ids with their shared
+    shingle count; the clean set is the anti-join complement.
+
+    Scale: the benchmark shingle set is small by construction — broadcast
+    it, so the contamination check is a map-side hash probe over the
+    training corpus (no shuffle of the big side). Shingles are distinct
+    per doc, so the count needs no DISTINCT re-agg."""
+    sh = _shingles(_docs(spark, sf_dir))
+    bench = (sh.filter(F.col("doc_id") % 97 == 0)
+             .select("shingle").distinct())
+    return (sh.filter(F.col("doc_id") % 97 != 0)
+            .join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared")))
