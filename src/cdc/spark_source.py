@@ -32,6 +32,16 @@ Design (scale notes):
   replaying a range re-reads immutable files (``expire_snapshots``
   bounds how far back a lagging stream may resume — resuming past the
   retained history fails loudly rather than silently skipping commits).
+- Backpressure: ``.option('maxSnapshotsPerTrigger', N)`` bounds each
+  microbatch to N commits (see ``CdcStreamReader``). Under
+  ``Trigger.AvailableNow`` Spark captures the (capped) tip once, so a
+  capped availableNow run is a BOUNDED catch-up: it processes N commits
+  and stops, and the next run resumes from the checkpoint — use an
+  uncapped availableNow to drain fully in one run.
+- Replication is a composition, not a feature: tail table A with this
+  source, re-shape the feed rows to events (_lsn→lsn, _deleted→op) and
+  ``apply_batch`` into table B per epoch — exactly-once end to end via
+  B's batch ledger (tests/test_datasource.py::test_replication_*).
 """
 
 from __future__ import annotations
@@ -174,17 +184,35 @@ class CdcBatchReader(DataSourceReader):
 
 
 class CdcStreamReader(DataSourceStreamReader):
-    """Streaming tail of the table's commits; offset = snapshot id."""
+    """Streaming tail of the table's commits; offset = snapshot id.
+
+    ``maxSnapshotsPerTrigger`` (optional) bounds how many COMMITS one
+    microbatch may cover — backpressure for a lagging consumer, so a
+    restart after downtime replays the backlog as several bounded
+    batches instead of one giant catch-up batch. The cap is applied by
+    holding back ``latestOffset`` relative to the last offset this
+    reader has OBSERVED (initialOffset for a fresh query, partitions /
+    commit thereafter); the one trigger after a restart, before Spark
+    has shown the reader its checkpointed position, is uncapped —
+    correctness never depends on the cap, it only paces progress."""
 
     def __init__(self, root: str, options):
         self._root = root
         self._start = str(options.get("start", "earliest")).lower()
+        cap = options.get("maxSnapshotsPerTrigger") or options.get(
+            "maxsnapshotspertrigger")
+        self._max_per_trigger = int(cap) if cap else None
+        self._seen: int | None = None   # highest offset observed so far
         snap = self._current()
         if snap is None:
             raise ValueError(f"no snapshot at {root} — stream after the "
                              f"first commit")
         self._target = _arrow_schema(
             f"{snap['schema_ddl']}, {_SYS_SUFFIX}")
+
+    def _observe(self, sid: int) -> None:
+        if self._seen is None or sid > self._seen:
+            self._seen = sid
 
     def _current(self):
         from cdc.meta import store
@@ -193,12 +221,42 @@ class CdcStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self._start == "latest":
             snap = self._current()
-            return {"snapshot_id": snap["snapshot_id"] if snap else 0}
-        return {"snapshot_id": 0}
+            sid = snap["snapshot_id"] if snap else 0
+        else:
+            sid = 0
+        self._observe(sid)
+        return {"snapshot_id": sid}
 
     def latestOffset(self) -> dict:
+        from cdc.meta import store
+
         snap = self._current()
-        return {"snapshot_id": snap["snapshot_id"] if snap else 0}
+        sid = snap["snapshot_id"] if snap else 0
+        if (self._max_per_trigger is not None and self._seen is not None
+                and snap is not None and sid > self._seen):
+            # cap in COMMITS, not id arithmetic: the main chain can have id
+            # gaps (abandoned branch stages), so walk parent links back to
+            # the watermark and pick the commit `cap` steps above it. Cost:
+            # O(backlog) metadata reads — the same walk partitions() pays.
+            chain, s = [], snap
+            while s["snapshot_id"] > self._seen:
+                chain.append(s["snapshot_id"])
+                pid = s["parent_id"]
+                if pid <= self._seen or pid == 0:
+                    break
+                try:
+                    s = store.read_snapshot(self._root, pid)
+                except Exception:
+                    # history below expired: pacing is impossible, return
+                    # the uncapped tip — partitions() raises the loud
+                    # expired-history error if the range is unreadable
+                    chain = []
+                    break
+            if len(chain) > self._max_per_trigger:
+                chain.reverse()
+                sid = chain[self._max_per_trigger - 1]
+        self._observe(sid)
+        return {"snapshot_id": sid}
 
     def partitions(self, start: dict, end: dict):
         import os
@@ -206,6 +264,7 @@ class CdcStreamReader(DataSourceStreamReader):
         from cdc.meta import store
 
         lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
+        self._observe(hi)
         # walk the parent chain end→start on the DRIVER (metadata only);
         # each commit's lsn floor is its parent's high-water mark — for
         # consecutive chain members that parent is the next snapshot in
@@ -246,4 +305,4 @@ class CdcStreamReader(DataSourceStreamReader):
         yield from _aligned_batches(path, self._target, floor, True, sid)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._observe(int(end["snapshot_id"]))

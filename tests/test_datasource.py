@@ -109,3 +109,63 @@ def test_stream_reader_offset_ranges(spark, table):
     expire_snapshots(table, keep_last=2)
     with pytest.raises(ValueError, match="history"):
         r.partitions({"snapshot_id": 0}, {"snapshot_id": 6})
+
+
+def test_stream_backpressure_caps_commits_per_trigger(spark, table):
+    """maxSnapshotsPerTrigger paces latestOffset: each trigger advances at
+    most N commits past the last observed offset, landing on REAL chain
+    snapshot ids (walked via parent links, not id arithmetic)."""
+    r = CdcStreamReader(table.root,
+                        {"root": table.root, "maxSnapshotsPerTrigger": "1"})
+    assert r.initialOffset() == {"snapshot_id": 0}
+    assert r.latestOffset() == {"snapshot_id": 1}      # capped, not 3
+    parts = r.partitions({"snapshot_id": 0}, {"snapshot_id": 1})
+    assert {p.value[2] for p in parts} == {1}
+    r.commit({"snapshot_id": 1})
+    assert r.latestOffset() == {"snapshot_id": 2}
+    r.commit({"snapshot_id": 2})
+    assert r.latestOffset() == {"snapshot_id": 3}
+    r.commit({"snapshot_id": 3})
+    assert r.latestOffset() == {"snapshot_id": 3}      # caught up: no-op
+    # cap of 2 jumps two commits at a time
+    r2 = CdcStreamReader(table.root,
+                         {"root": table.root, "maxSnapshotsPerTrigger": "2"})
+    r2.initialOffset()
+    assert r2.latestOffset() == {"snapshot_id": 2}
+
+
+def test_replication_via_stream_source(spark, table, tmp_path):
+    """Cross-table replication: tail the source table's change feed
+    (cdctable stream) and apply each microbatch into a replica CdcTable —
+    final replica state equals the source state, exactly-once via the
+    replica's batch ledger keyed on the epoch."""
+    replica = CdcTable(str(tmp_path / "replica"), n_partitions=4,
+                       layout="key_hash")
+
+    def apply(df, epoch):
+        ev = df.select(
+            "repo", "path", F.col("_lsn").alias("lsn"),
+            F.col("_updated_ts").alias("ts"),
+            F.when(F.coalesce(F.col("_deleted"), F.lit(False)), "D")
+             .otherwise("U").alias("op"),
+            "content", F.lit(epoch).alias("batch_id"))
+        apply_batch(df.sparkSession, replica, ev, f"rep-{epoch}",
+                    normalize=False, metrics=False)
+
+    q = (spark.readStream.format("cdctable").option("root", table.root)
+         .load()
+         .writeStream.foreachBatch(apply)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    src = rows_of(table.read(spark))
+    assert rows_of(replica.read(spark)) == src
+    # re-running the stream from the same checkpoint replays nothing new
+    q2 = (spark.readStream.format("cdctable").option("root", table.root)
+          .load()
+          .writeStream.foreachBatch(apply)
+          .option("checkpointLocation", str(tmp_path / "ckpt"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+    assert rows_of(replica.read(spark)) == src
