@@ -30,7 +30,8 @@ def compact(spark: SparkSession, table: CdcTable,
             vacuum_tombstones_below_lsn: int | None = None,
             files_per_partition: int | None = None,
             parts: list[int] | None = None,
-            max_files_per_partition: int | None = None) -> dict:
+            max_files_per_partition: int | None = None,
+            cluster_by: list[str] | None = None) -> dict:
     """Rewrite partitions into ``files_per_partition`` files; drop
     tombstones whose _lsn <= the vacuum horizon. Returns the new snapshot.
 
@@ -40,7 +41,15 @@ def compact(spark: SparkSession, table: CdcTable,
     actually fragmented (more than that many files, or carrying delta
     layers) straight from the manifest — no data read. Untouched
     partitions' files are carried by reference, so the commit costs
-    O(fragmented partitions). Default (both None) rewrites everything."""
+    O(fragmented partitions). Default (both None) rewrites everything.
+
+    ``cluster_by`` — range-cluster the rewritten files on these columns
+    (the OPTIMIZE ... ZORDER BY analog): within each partition, files get
+    near-disjoint min/max ranges, so ``read(prune={col: (lo, hi)})`` skips
+    most files instead of none. The columns are added to the manifest
+    stats for this commit automatically. Normal commits keep the cheap
+    key-hash clustering; run a clustering compaction on whatever cadence
+    the prune-column query load justifies."""
     parent = table.current_snapshot()
     if parent is None:
         raise ValueError("cannot compact an empty table")
@@ -65,11 +74,15 @@ def compact(spark: SparkSession, table: CdcTable,
         df = df.filter(keep)
 
     old_fpp = table.files_per_partition
+    old_stats = table.stats_cols
     if files_per_partition is not None:
         table.files_per_partition = files_per_partition
+    if cluster_by:
+        # clustering without recorded stats would be invisible to pruning
+        table.stats_cols = tuple(dict.fromkeys((*old_stats, *cluster_by)))
     try:
         sid = store.next_snapshot_id(table.root)
-        if table.layout == "key_hash":
+        if table.layout == "key_hash" and not cluster_by:
             # the key_hash write trusts the incoming clustering; a raw
             # snapshot read has none, so compaction supplies it here —
             # one shuffle, right-sized files. The width stays P*fpp even
@@ -80,10 +93,12 @@ def compact(spark: SparkSession, table: CdcTable,
             df = df.repartition(
                 table.n_partitions * table.files_per_partition,
                 *table.key_cols)
-        entries, ddl = table._write_data(df.persist(), sid)
+        entries, ddl = table._write_data(df.persist(), sid,
+                                         cluster_by=tuple(cluster_by or ()))
     finally:
         df.unpersist()
         table.files_per_partition = old_fpp
+        table.stats_cols = old_stats
 
     carried = []
     if parts is not None:

@@ -406,12 +406,22 @@ class CdcTable:
 
     # -- write path (S6) -------------------------------------------------------
     def _write_data(self, df: DataFrame, snapshot_id: int,
-                    kind: str = "base") -> tuple[list[dict], str]:
+                    kind: str = "base",
+                    cluster_by: Sequence[str] = ()) -> tuple[list[dict], str]:
         """Stage data files for a snapshot; returns (manifest entries, ddl).
 
         Deterministic staging dir per snapshot id -> a retried commit
         overwrites rather than duplicates. One file per (part, file_group);
-        rows sorted by key within files for read locality (O2)."""
+        rows sorted by key within files for read locality (O2).
+
+        ``cluster_by`` — range-cluster files WITHIN each partition on the
+        given columns (Z-order's 1-D special case, done the Spark-native
+        way: repartitionByRange on (part, *cluster_by)): each partition's
+        files then carry near-disjoint min/max ranges for those columns,
+        so manifest stats pruning (``read(prune=)``) skips most files
+        instead of none. Used by ``maintenance.compact(cluster_by=…)``;
+        replaces the layout's own clustering for this write only (the
+        partition column still routes rows, so reads are unaffected)."""
         rel_dir = f"data/snap-{snapshot_id:012d}-{self.writer_token}"
         out_dir = os.path.join(self.root, rel_dir)
         # INT64-micros timestamps (the Iceberg/Delta-mandated encoding):
@@ -424,13 +434,15 @@ class CdcTable:
         old_ts_type = sess_conf.get(ts_key, None)
         sess_conf.set(ts_key, "TIMESTAMP_MICROS")
         try:
-            return self._write_data_inner(df, rel_dir, out_dir, kind)
+            return self._write_data_inner(df, rel_dir, out_dir, kind,
+                                          cluster_by=cluster_by)
         finally:
             (sess_conf.set(ts_key, old_ts_type) if old_ts_type
              else sess_conf.unset(ts_key))
 
     def _write_data_inner(self, df: DataFrame, rel_dir: str, out_dir: str,
-                          kind: str) -> tuple[list[dict], str]:
+                          kind: str,
+                          cluster_by: Sequence[str] = ()) -> tuple[list[dict], str]:
         # per-key-column parquet bloom filters: point lookups (``lookup``)
         # skip row groups whose sorted-key min/max straddles the probe but
         # whose bloom filter rules it out — cheap at write time, O(row
@@ -443,7 +455,20 @@ class CdcTable:
             # a higher false-positive rate only costs a wasted row-group read
             # on some lookups, while write amplification is paid every commit
             bloom["parquet.bloom.filter.max.bytes"] = str(128 * 1024)
-        if self.layout == "key_hash":
+        if cluster_by:
+            # range clustering: contiguous (part, cluster_by) ranges per
+            # task -> near-disjoint per-file stats within each partition.
+            # The range sampling job is the price of admission — paid at
+            # compaction time, not per commit. Key sort within files stays
+            # (lookups keep their row-group skipping); file-LEVEL stats
+            # don't depend on in-file order.
+            (df.repartitionByRange(
+                    self.n_partitions * self.files_per_partition,
+                    PART_COL, *[F.col(c) for c in cluster_by])
+               .sortWithinPartitions(*self.key_cols)
+               .write.mode("overwrite").options(**bloom)
+               .partitionBy(PART_COL).parquet(out_dir))
+        elif self.layout == "key_hash":
             # the upstream LWW/merge stages already hash-cluster rows by the
             # key columns, and part = pmod(hash(key), P) is a pure function
             # of that clustering whenever P divides the shuffle width — so

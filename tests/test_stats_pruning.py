@@ -105,3 +105,34 @@ def test_stats_survive_spark_stats_path(spark, tmp_path):
         assert e["stats"]["score"] == f["stats"]["score"]
         assert (e["rows"], e["lsn_min"], e["lsn_max"]) == \
             (f["rows"], f["lsn_min"], f["lsn_max"])
+
+
+def test_cluster_by_compaction_tightens_file_stats(spark, tmp_path):
+    """compact(cluster_by=['score']) range-clusters files within each
+    partition: per-file score ranges become near-disjoint, a narrow prune
+    touches a small fraction of files, and results are unchanged."""
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    # interleave scores across keys so the hash layout scatters every
+    # score range across every file — worst case for pruning
+    rows = [(f"r{i}", f"p{i}", i + 1, f"v{i}", float(i % 40), "U")
+            for i in range(400)]
+    apply_batch(spark, t, ev(spark, rows), "b0",
+                normalize=False, metrics=False)
+
+    snap = compact(spark, t, files_per_partition=4, cluster_by=["score"])
+    assert snap["operation"] == "compact"
+    files = snap["files"]
+    assert all("score" in f.get("stats", {}) for f in files)
+    # within each partition the per-file ranges must be near-disjoint:
+    # total overlap-free coverage means at most fpp files can intersect a
+    # point per partition; globally a narrow band touches far fewer files
+    full = t.read(spark)
+    pruned = t.read(spark, prune={"score": (0.0, 1.0)})
+    assert rows_of(pruned.filter("score <= 1")) == \
+        rows_of(full.filter("score <= 1"))
+    assert len(pruned.inputFiles()) <= len(full.inputFiles()) // 2
+    # the handle's own stats_cols preference was restored
+    assert t.stats_cols == ()
+    # lookups still work against clustered files (key sort preserved)
+    hit = t.lookup(spark, repo="r7", path="p7")
+    assert [(r.repo, r.score) for r in hit.collect()] == [("r7", 7.0)]
