@@ -342,3 +342,61 @@ def stats_prune_read(spark, sf_dir):
     return (t.read(spark, prune={"val": (150, None)})
             .filter(F.col("val") >= 150)
             .select("repo", "path", "val"))
+
+
+@q("meta_commits", """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,
+         event_id AS lsn
+  FROM events
+),
+cut AS (
+  SELECT 1 AS snapshot_id, 'b1' AS batch_key, 3000 AS hi UNION ALL
+  SELECT 2, 'b2', 6000 UNION ALL
+  SELECT 3, 'b3', 2147483647
+)
+SELECT CAST(c.snapshot_id AS BIGINT) AS snapshot_id, c.batch_key,
+       'merge' AS operation,
+       (SELECT CAST(max(lsn) AS BIGINT) FROM ev WHERE lsn <= c.hi) AS lsn_high,
+       (SELECT CAST(count(DISTINCT repo || '|' || path) AS BIGINT)
+        FROM ev WHERE lsn <= c.hi) AS total_rows
+FROM cut c
+""")
+def meta_commits(spark, sf_dir):
+    """Metadata inspection tables (``commits_df`` + ``manifest_df``,
+    cdc/table/table.py): ingest three LSN-bounded batches, then answer
+    "what did each commit do" FROM TABLE METADATA ALONE — ledger row
+    (batch_key, operation, lsn_high) joined to the per-snapshot manifest
+    row total. The oracle recomputes each from the raw log: lsn_high =
+    max event lsn under the cutoff; total_rows = distinct keys seen
+    (CoW state keeps one row per key, tombstones included). Metadata is
+    O(files) driver-side JSON — no data file is read by this query."""
+    from cdc.pipeline import apply_batch
+    from cdc.table.table import CdcTable
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.col("event_type").alias("path"),
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("content"),
+        F.lit(0).alias("batch_id"))
+
+    work = _scratch("meta_commits_q")
+    t = CdcTable(f"{work}/t", n_partitions=8, layout="key_hash")
+    for i, (lo, hi) in enumerate([(-1, 3000), (3000, 6000),
+                                  (6000, 1 << 31)], 1):
+        apply_batch(spark, t, ev.filter((F.col("lsn") > lo)
+                                        & (F.col("lsn") <= hi)),
+                    f"b{i}", normalize=False, metrics=False)
+
+    commits = t.commits_df(spark).select(
+        "snapshot_id", "batch_key", "operation", "lsn_high")
+    manifests = None
+    for sid in (1, 2, 3):
+        m = t.manifest_df(spark, snapshot_id=sid)
+        manifests = m if manifests is None else manifests.unionByName(m)
+    totals = (manifests.groupBy("snapshot_id")
+              .agg(F.sum("rows").alias("total_rows")))
+    return commits.join(totals, "snapshot_id")

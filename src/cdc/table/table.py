@@ -225,6 +225,49 @@ class CdcTable:
             rows, "snapshot_id long, file_path string, part int, rows long, "
                   "lsn_min long, lsn_max long, origin string")
 
+    def partitions_df(self, spark: SparkSession,
+                      snapshot_id: int | None = None) -> DataFrame:
+        """Per-partition layout summary (the Iceberg ``partitions``
+        metadata table): file/row counts, lsn bounds, delta-layer flag —
+        the compaction planner's input, as a queryable DataFrame.
+        Driver-side over manifest metadata only; no data files touched."""
+        snap = (store.read_snapshot(self.root, snapshot_id)
+                if snapshot_id is not None else self.current_snapshot())
+        if snap is None:
+            raise ValueError("empty table has no partitions")
+        agg: dict[int, list] = {}
+        for f in snap["files"]:
+            p = int(f["part"])
+            a = agg.setdefault(p, [0, 0, None, None, 0])
+            a[0] += 1
+            a[1] += int(f["rows"])
+            if int(f["lsn_min"]) >= 0:
+                a[2] = (int(f["lsn_min"]) if a[2] is None
+                        else min(a[2], int(f["lsn_min"])))
+                a[3] = (int(f["lsn_max"]) if a[3] is None
+                        else max(a[3], int(f["lsn_max"])))
+            a[4] += f.get("kind") == "delta"
+        rows = [(p, *a) for p, a in sorted(agg.items())]
+        return spark.createDataFrame(
+            rows, "part int, n_files int, rows long, lsn_min long, "
+                  "lsn_max long, n_delta_files int")
+
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """Named refs as a DataFrame: tags (immutable pins) and branches
+        (staged WAP chains), with the snapshot each points at."""
+        rows = [("tag", name, int(sid))
+                for name, sid in sorted(store.list_tags(self.root).items())]
+        meta = store.meta_dir(self.root)
+        if os.path.isdir(meta):
+            for n in sorted(os.listdir(meta)):
+                if n.startswith("_ref-") and not n.endswith(".tmp"):
+                    ref = store.read_ref(self.root, n[len("_ref-"):])
+                    if ref is not None:
+                        rows.append(("branch", n[len("_ref-"):],
+                                     int(ref["snapshot_id"])))
+        return spark.createDataFrame(
+            rows, "kind string, name string, snapshot_id long")
+
     # -- read path (S5 + P3) ---------------------------------------------------
     def tag(self, name: str, snapshot_id: int | None = None,
             replace: bool = False) -> int:

@@ -177,3 +177,38 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     with pytest.raises(ValueError, match="only one of"):
         t.read(spark, as_of=snaps[0]["committed_ts"],
                snapshot_id=snaps[0]["snapshot_id"])
+
+
+def test_metadata_inspection_tables(spark, tmp_path):
+    """partitions_df / refs_df / commits_df / manifest_df: the inspection
+    surface answers layout + ref questions from metadata alone."""
+    from cdc.table import wap
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, ROWS), "b0",
+                normalize=False, metrics=False)
+    apply_batch(spark, t, ev(spark, [("r9", "z", 9, "m", "U")]), "b1",
+                normalize=False, metrics=False, mode="mor")
+
+    parts = {r.part: r for r in t.partitions_df(spark).collect()}
+    snap = t.current_snapshot()
+    assert sum(r.rows for r in parts.values()) == \
+        sum(f["rows"] for f in snap["files"]) == 5
+    delta_parts = {int(f["part"]) for f in snap["files"]
+                   if f.get("kind") == "delta"}
+    assert {p for p, r in parts.items() if r.n_delta_files > 0} == delta_parts
+    assert max(r.lsn_max for r in parts.values()) == 9
+
+    # refs: one tag + one staged WAP branch
+    t.tag("golden")
+    wap.stage(spark, t, ev(spark, [("r5", "q", 20, "s", "U")]), "b2",
+              ref="audit")
+    refs = {(r.kind, r.name): r.snapshot_id
+            for r in t.refs_df(spark).collect()}
+    assert refs[("tag", "golden")] == snap["snapshot_id"]
+    assert ("branch", "audit") in refs
+    assert refs[("branch", "audit")] > snap["snapshot_id"]
+
+    # commits ledger covers every snapshot with its operation
+    ops = {r.snapshot_id: r.operation for r in t.commits_df(spark).collect()}
+    assert ops[1] == "merge" and ops[2] == "delta"
