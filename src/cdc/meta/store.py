@@ -381,6 +381,41 @@ def _swap_pointer(root: str, snap_name: str, ref: str) -> None:
     os.replace(ptr_tmp, ptr)  # the commit point
 
 
+def ddl_names(ddl: str) -> list[str]:
+    """Column names of a flat DDL string, split depth-aware (types like
+    decimal(18,2) carry commas)."""
+    names, depth, buf = [], 0, []
+    for ch in ddl + ",":
+        if ch == "," and depth == 0:
+            part = "".join(buf).strip()
+            buf = []
+            if part:
+                names.append(part.split(" ", 1)[0])
+        else:
+            depth += ch in "(<"
+            depth -= ch in ")>"
+            buf.append(ch)
+    return names
+
+
+def _assign_column_ids(parent: dict[str, Any] | None, schema_ddl: str,
+                       override: dict[str, int] | None) -> dict[str, int]:
+    """Field-id mapping for a new snapshot (the Iceberg column-mapping
+    analog): names inherit their parent id, NEW names get fresh ids — so
+    a dropped-then-re-added column is a DIFFERENT column and never
+    resurrects old data. ``override`` is the ALTER path (rename keeps the
+    id under a new name; drop removes the entry)."""
+    if override is not None:
+        return dict(override)
+    ids = dict((parent or {}).get("column_ids") or {})
+    nxt = max(ids.values(), default=0) + 1
+    for n in ddl_names(schema_ddl):
+        if n not in ids:
+            ids[n] = nxt
+            nxt += 1
+    return ids
+
+
 def new_snapshot(
     parent: dict[str, Any] | None,
     batch_key: str,
@@ -390,10 +425,26 @@ def new_snapshot(
     operation: str = "merge",
     committed_ts: str = "",
     snapshot_id: int | None = None,
+    column_ids: dict[str, int] | None = None,
 ) -> dict[str, Any]:
     parent_id = parent["snapshot_id"] if parent else 0
     ledger = list(parent["committed_batches"]) if parent else []
     ledger.append(batch_key)
+    ids = _assign_column_ids(parent, schema_ddl, column_ids)
+    # stamp freshly written files with their columns' field ids: the read
+    # path maps file columns to current names BY ID, so later renames/drops
+    # are metadata-only. Carried entries keep the ids of their own writing
+    # snapshot (manifest groups stay byte-identical -> reused by reference).
+    nxt = max(ids.values(), default=0) + 1
+    for e in files:
+        if e.get("origin") == "added" and "ids" not in e:
+            row = []
+            for n in ddl_names(e["columns"]):
+                if n not in ids:       # defensive: never collide an id
+                    ids[n] = nxt
+                    nxt += 1
+                row.append(ids[n])
+            e["ids"] = row
     return {
         "snapshot_id": snapshot_id if snapshot_id is not None else parent_id + 1,
         "parent_id": parent_id,
@@ -403,6 +454,7 @@ def new_snapshot(
         "committed_ts": committed_ts,
         "schema_ddl": schema_ddl,
         "committed_batches": ledger[-LEDGER_KEEP:],
+        "column_ids": ids,
         "files": files,
     }
 

@@ -351,16 +351,24 @@ WITH ev AS (
   FROM events
 ),
 cut AS (
-  SELECT 1 AS snapshot_id, 'b1' AS batch_key, 3000 AS hi UNION ALL
-  SELECT 2, 'b2', 6000 UNION ALL
-  SELECT 3, 'b3', 2147483647
+  SELECT 1 AS i, -1 AS lo, 3000 AS hi UNION ALL
+  SELECT 2, 3000, 6000 UNION ALL
+  SELECT 3, 6000, 2147483647
+),
+-- an empty tail batch does not commit (pipeline.apply_batch resume
+-- guard), so only cutoffs that add events appear in the ledger; their
+-- snapshot ids are the dense 1..n commit order
+live AS (
+  SELECT c.* FROM cut c
+  WHERE EXISTS (SELECT 1 FROM ev WHERE lsn > c.lo AND lsn <= c.hi)
 )
-SELECT CAST(c.snapshot_id AS BIGINT) AS snapshot_id, c.batch_key,
+SELECT CAST(row_number() OVER (ORDER BY hi) AS BIGINT) AS snapshot_id,
+       'b' || CAST(i AS VARCHAR) AS batch_key,
        'merge' AS operation,
-       (SELECT CAST(max(lsn) AS BIGINT) FROM ev WHERE lsn <= c.hi) AS lsn_high,
+       (SELECT CAST(max(lsn) AS BIGINT) FROM ev WHERE lsn <= live.hi) AS lsn_high,
        (SELECT CAST(count(DISTINCT repo || '|' || path) AS BIGINT)
-        FROM ev WHERE lsn <= c.hi) AS total_rows
-FROM cut c
+        FROM ev WHERE lsn <= live.hi) AS total_rows
+FROM live
 """)
 def meta_commits(spark, sf_dir):
     """Metadata inspection tables (``commits_df`` + ``manifest_df``,
@@ -394,9 +402,56 @@ def meta_commits(spark, sf_dir):
     commits = t.commits_df(spark).select(
         "snapshot_id", "batch_key", "operation", "lsn_high")
     manifests = None
-    for sid in (1, 2, 3):
-        m = t.manifest_df(spark, snapshot_id=sid)
+    for s in t.snapshots():
+        m = t.manifest_df(spark, snapshot_id=s["snapshot_id"])
         manifests = m if manifests is None else manifests.unionByName(m)
     totals = (manifests.groupBy("snapshot_id")
               .agg(F.sum("rows").alias("total_rows")))
     return commits.join(totals, "snapshot_id")
+
+
+@q("ddl_alter_lifecycle", """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS content
+  FROM events
+),
+state AS (
+  SELECT repo, path, content FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY lsn DESC) AS rn
+    FROM ev) WHERE rn = 1 AND op <> 'D'
+)
+SELECT repo, path, content AS body FROM state
+""")
+def ddl_alter_lifecycle(spark, sf_dir):
+    """ALTER TABLE column mapping (cdc/table/alter.py): ingest half the
+    log, RENAME content->body (metadata-only — field ids resolve the old
+    files to the new name with zero rewrite), ingest the rest under the
+    new name, read back. The oracle computes plain LWW over the whole
+    log: the rename must be invisible to the data."""
+    from cdc.pipeline import apply_batch
+    from cdc.table import alter
+    from cdc.table.table import CdcTable
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.col("event_type").alias("path"),
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("content"),
+        F.lit(0).alias("batch_id"))
+
+    work = _scratch("alter_q")
+    t = CdcTable(f"{work}/t", n_partitions=8, layout="key_hash")
+    apply_batch(spark, t, ev.filter(F.col("lsn") <= 5000), "b0",
+                normalize=False, metrics=False)
+    alter.rename_column(t, "content", "body")
+    apply_batch(spark, t,
+                ev.filter(F.col("lsn") > 5000)
+                  .withColumnRenamed("content", "body"),
+                "b1", normalize=False, metrics=False)
+    return t.read(spark).select("repo", "path", "body")

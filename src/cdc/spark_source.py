@@ -92,16 +92,36 @@ def _arrow_schema(ddl: str):
     return pa.schema(fields)
 
 
+def _column_map(snap: dict, entry: dict) -> list | None:
+    """Per-file (file_col -> current_col) pairs resolved by FIELD ID
+    (column mapping: renames/drops are metadata-only — cdc/table/alter.py).
+    None = name identity (file predates ids)."""
+    ids = entry.get("ids")
+    cur = snap.get("column_ids")
+    if not ids or not cur:
+        return None
+    from cdc.meta.store import ddl_names
+
+    id_to_cur = {v: k for k, v in cur.items()}
+    return [(n, id_to_cur[i]) for n, i in zip(ddl_names(entry["columns"]), ids)
+            if i in id_to_cur]
+
+
 def _aligned_batches(path: str, target, lsn_floor: int | None,
-                     include_deleted: bool, commit_id: int) -> Iterator:
+                     include_deleted: bool, commit_id: int,
+                     colmap: list | None = None) -> Iterator:
     """Read one immutable data file, filter, pad/cast to the TARGET arrow
     schema (schema evolution: files written under older DDLs gain NULL
-    columns), stamp the commit id, yield Arrow record batches."""
+    columns; ``colmap`` resolves renamed columns and projects dropped
+    ones away), stamp the commit id, yield Arrow record batches."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     t = pq.read_table(path)
+    if colmap is not None:
+        t = t.select([src for src, _ in colmap]).rename_columns(
+            [out for _, out in colmap])
     if lsn_floor is not None:
         t = t.filter(pc.greater(t["_lsn"], pa.scalar(lsn_floor,
                                                      type=pa.int64())))
@@ -174,13 +194,15 @@ class CdcBatchReader(DataSourceReader):
                 "batch source cannot reconcile them (needs a key shuffle); "
                 "compact first or read via CdcTable.read")
         sid = self._snap["snapshot_id"]
-        return [InputPartition((os.path.join(self._root, f["path"]), sid))
+        return [InputPartition((os.path.join(self._root, f["path"]), sid,
+                                _column_map(self._snap, f)))
                 for f in self._snap["files"]]
 
     def read(self, partition):
-        path, sid = partition.value
+        path, sid, colmap = partition.value
         yield from _aligned_batches(path, self._target, None,
-                                    self._include_deleted, sid)
+                                    self._include_deleted, sid,
+                                    colmap=colmap)
 
 
 class CdcStreamReader(DataSourceStreamReader):
@@ -209,6 +231,9 @@ class CdcStreamReader(DataSourceStreamReader):
                              f"first commit")
         self._target = _arrow_schema(
             f"{snap['schema_ddl']}, {_SYS_SUFFIX}")
+        # feed rows are emitted under the stream's init-time schema; files
+        # written before a rename resolve to it by field id
+        self._cur_ids = snap.get("column_ids")
 
     def _observe(self, sid: int) -> None:
         if self._seen is None or sid > self._seen:
@@ -293,16 +318,20 @@ class CdcStreamReader(DataSourceStreamReader):
             if added is None:
                 added = [f["path"] for f in snap["files"]
                          if f.get("origin") == "added"]
+            by_path = {f["path"]: f for f in snap["files"]}
+            fake = {"column_ids": self._cur_ids}
             out.extend(
                 InputPartition((os.path.join(self._root, p), floor,
-                                snap["snapshot_id"]))
+                                snap["snapshot_id"],
+                                _column_map(fake, by_path[p])))
                 for p in added)
         return out
 
     def read(self, partition):
-        path, floor, sid = partition.value
+        path, floor, sid, colmap = partition.value
         # include_deleted=True: tombstones ARE the delete events
-        yield from _aligned_batches(path, self._target, floor, True, sid)
+        yield from _aligned_batches(path, self._target, floor, True, sid,
+                                    colmap=colmap)
 
     def commit(self, end: dict) -> None:
         self._observe(int(end["snapshot_id"]))

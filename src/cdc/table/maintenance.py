@@ -147,6 +147,10 @@ def rollback(table: CdcTable, to_snapshot_id: int) -> dict:
         "committed_batches": list(target["committed_batches"]),
         "files": [{**f, "origin": "existing"} for f in target["files"]],
     }
+    if target.get("column_ids"):
+        # the schema travels with the rollback — including the id mapping,
+        # so rolling back across a rename/drop restores the old resolution
+        snap["column_ids"] = target["column_ids"]
     # the restored files are clustered under the TARGET's partition spec —
     # rolling back across a repartition must restore that spec too, or
     # pruning/lookups against the restored files silently break. Re-open
@@ -199,19 +203,33 @@ def repartition(spark: SparkSession, table: CdcTable,
     return new
 
 
-def expire_snapshots(table: CdcTable, keep_last: int = 3) -> list[int]:
+def expire_snapshots(table: CdcTable, keep_last: int = 3,
+                     older_than=None) -> list[int]:
     """Drop snapshot JSONs older than the newest ``keep_last`` (time-travel
     horizon); the current snapshot and any TAGGED snapshots (audit/repro
-    pins — ``CdcTable.tag``) are always kept. Returns expired ids."""
+    pins — ``CdcTable.tag``) are always kept. Returns expired ids.
+
+    ``older_than`` (ISO string or datetime; naive = UTC) further restricts
+    expiry to snapshots COMMITTED BEFORE that instant — the retention-
+    policy form ("keep 7 days of time travel"): pass
+    ``older_than=now - retention`` and ``keep_last=1``."""
     snaps = table.snapshots()
     if len(snaps) <= keep_last:
         return []
+    if older_than is not None:
+        from datetime import datetime, timezone
+        if isinstance(older_than, datetime):
+            if older_than.tzinfo is None:
+                older_than = older_than.replace(tzinfo=timezone.utc)
+            older_than = older_than.astimezone(timezone.utc).isoformat()
     current = table.current_snapshot()["snapshot_id"]
     pinned = set(store.list_tags(table.root).values()) | {current}
     expired = []
     for snap in snaps[:-keep_last]:
         sid = snap["snapshot_id"]
         if sid in pinned:
+            continue
+        if older_than is not None and snap["committed_ts"] >= older_than:
             continue
         os.remove(store.snap_path(table.root, sid))
         expired.append(sid)

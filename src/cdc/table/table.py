@@ -252,6 +252,43 @@ class CdcTable:
             rows, "part int, n_files int, rows long, lsn_min long, "
                   "lsn_max long, n_delta_files int")
 
+    def export_file_list(self, snapshot_id: int | None = None) -> list[str]:
+        """Absolute data-file paths of a snapshot — the Hive
+        symlink-manifest / Delta manifest-export analog: hand the list to
+        ANY parquet engine (DuckDB, Trino, pandas) for an
+        engine-independent snapshot read with zero copies.
+
+        External readers see raw files, so this refuses snapshots an
+        external engine cannot interpret correctly: MOR delta layers
+        (the reconcile needs a key shuffle) and files whose columns need
+        field-id renames (written before an ALTER rename) — run
+        ``maintenance.compact`` first; it folds deltas and rewrites under
+        current names. Tombstones ARE exported: filter
+        ``_deleted IS NOT TRUE`` on the external side (documented
+        contract — deletes are data)."""
+        snap = (store.read_snapshot(self.root, snapshot_id)
+                if snapshot_id is not None else self.current_snapshot())
+        if snap is None:
+            raise ValueError("empty table has nothing to export")
+        cur = snap.get("column_ids") or {}
+        id_to_cur = {v: k for k, v in cur.items()}
+        for f in snap["files"]:
+            if f.get("kind") == "delta":
+                raise ValueError(
+                    "snapshot has MOR delta layers — external engines "
+                    "cannot reconcile them; compact first")
+            ids = f.get("ids")
+            if ids and cur:
+                names = store.ddl_names(f["columns"])
+                for n, i in zip(names, ids):
+                    if id_to_cur.get(i, n) != n:
+                        raise ValueError(
+                            f"file {f['path']} predates a column rename "
+                            f"({n!r} -> {id_to_cur[i]!r}); external engines "
+                            f"resolve by name — compact first")
+        return [os.path.abspath(os.path.join(self.root, f["path"]))
+                for f in snap["files"]]
+
     def refs_df(self, spark: SparkSession) -> DataFrame:
         """Named refs as a DataFrame: tags (immutable pins) and branches
         (staged WAP chains), with the snapshot each points at."""
@@ -368,12 +405,24 @@ class CdcTable:
         if not files:
             df = spark.createDataFrame([], target)
         else:
-            by_ddl: dict[str, list[str]] = {}
+            # column mapping: files are read under their own recorded DDL,
+            # then their columns resolve to CURRENT names BY FIELD ID —
+            # renames/drops are metadata-only (alter.py). Files predating
+            # ids (or columns without one) fall back to name identity.
+            id_to_cur = {v: k for k, v in
+                         (snap.get("column_ids") or {}).items()}
+            by_ddl: dict[tuple, list[str]] = {}
             for f in files:
-                by_ddl.setdefault(f["columns"], []).append(os.path.join(self.root, f["path"]))
+                key = (f["columns"], tuple(f.get("ids") or ()))
+                by_ddl.setdefault(key, []).append(os.path.join(self.root, f["path"]))
             dfs = []
-            for ddl, paths in sorted(by_ddl.items()):
+            for (ddl, ids), paths in sorted(by_ddl.items()):
                 d = spark.read.schema(ddl).parquet(*paths)
+                if ids:
+                    sel = [F.col(n).alias(id_to_cur[i])
+                           for n, i in zip(store.ddl_names(ddl), ids)
+                           if i in id_to_cur]   # dropped ids project away
+                    d = d.select(*sel)
                 if has_delta:
                     # layer ordinal = snapshot id baked into the staging dir
                     # name; computed at scan time (input_file_name is only
@@ -386,7 +435,11 @@ class CdcTable:
             df = dfs[0]
             for d in dfs[1:]:
                 df = df.unionByName(d, allowMissingColumns=True)
-            cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+            # a column added by ALTER (no file carries it yet) reads as
+            # typed NULL until a commit writes it
+            cols = [(F.col(f.name) if f.name in df.columns
+                     else F.lit(None)).cast(f.dataType).alias(f.name)
+                    for f in target.fields]
             if has_delta:
                 cols.append(F.col("_layer"))
             df = df.select(*cols)

@@ -212,3 +212,60 @@ def test_metadata_inspection_tables(spark, tmp_path):
     # commits ledger covers every snapshot with its operation
     ops = {r.snapshot_id: r.operation for r in t.commits_df(spark).collect()}
     assert ops[1] == "merge" and ops[2] == "delta"
+
+
+def test_export_file_list_external_engine_read(spark, tmp_path):
+    """export_file_list: an engine-independent snapshot read — DuckDB over
+    the exported parquet paths equals CdcTable.read (tombstones filtered
+    by the documented external contract)."""
+    import duckdb
+
+    from cdc.table import alter
+    from cdc.table.maintenance import compact
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, ROWS), "b0",
+                normalize=False, metrics=False)
+    apply_batch(spark, t, ev(spark, [("r2", "b", 9, None, "D"),
+                                     ("r1", "a", 8, "v2", "U")]), "b1",
+                normalize=False, metrics=False)
+    paths = t.export_file_list()
+    got = duckdb.sql(
+        "SELECT repo, path, content FROM read_parquet($p) "
+        "WHERE _deleted IS NOT TRUE", params={"p": paths}).fetchall()
+    assert sorted(got) == sorted(
+        (r.repo, r.path, r.content)
+        for r in t.read(spark).select("repo", "path", "content").collect())
+
+    # MOR deltas refuse; compaction folds them and export works again
+    apply_batch(spark, t, ev(spark, [("r9", "z", 20, "m", "U")]), "b2",
+                normalize=False, metrics=False, mode="mor")
+    with pytest.raises(ValueError, match="delta"):
+        t.export_file_list()
+    compact(spark, t)
+    assert len(t.export_file_list()) > 0
+
+    # a pre-rename file refuses (external engines resolve by name)
+    alter.rename_column(t, "content", "body")
+    with pytest.raises(ValueError, match="rename"):
+        t.export_file_list()
+    compact(spark, t)
+    cols = duckdb.sql(
+        "SELECT * FROM read_parquet($p) LIMIT 1",
+        params={"p": t.export_file_list()}).columns
+    assert "body" in cols and "content" not in cols
+
+
+def test_expire_snapshots_older_than(spark, tmp_path):
+    from cdc.table.maintenance import expire_snapshots
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=2, layout="key_hash")
+    for i in range(4):
+        apply_batch(spark, t, ev(spark, [("r1", "a", i + 1, f"v{i}", "U")]),
+                    f"b{i}", normalize=False, metrics=False)
+    # retention instant in the past: nothing qualifies even under keep_last
+    assert expire_snapshots(t, keep_last=1,
+                            older_than="2000-01-01T00:00:00+00:00") == []
+    # future instant: keep_last governs as before
+    assert expire_snapshots(t, keep_last=2,
+                            older_than="2100-01-01T00:00:00+00:00") == [1, 2]

@@ -329,8 +329,10 @@ def test_executor_side_stats_match_footer_stats(spark, tmp_path):
     table = CdcTable(str(tmp_path / "t"), n_partitions=8)
     table.commit_merge(spark, spark.createDataFrame(rows, ddl), "b1")
     snap = table.current_snapshot()
+    # field ids are stamped at snapshot level (store.new_snapshot), not by
+    # the stats collectors — compare the pre-stamp entry fields
     footer = sorted(
-        ({k: v for k, v in e.items()} for e in snap["files"]),
+        ({k: v for k, v in e.items() if k != "ids"} for e in snap["files"]),
         key=lambda e: e["path"])
 
     import os
