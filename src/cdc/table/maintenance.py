@@ -31,7 +31,8 @@ def compact(spark: SparkSession, table: CdcTable,
             files_per_partition: int | None = None,
             parts: list[int] | None = None,
             max_files_per_partition: int | None = None,
-            cluster_by: list[str] | None = None) -> dict:
+            cluster_by: list[str] | None = None,
+            zorder: bool = False) -> dict:
     """Rewrite partitions into ``files_per_partition`` files; drop
     tombstones whose _lsn <= the vacuum horizon. Returns the new snapshot.
 
@@ -49,7 +50,13 @@ def compact(spark: SparkSession, table: CdcTable,
     most files instead of none. The columns are added to the manifest
     stats for this commit automatically. Normal commits keep the cheap
     key-hash clustering; run a clustering compaction on whatever cadence
-    the prune-column query load justifies."""
+    the prune-column query load justifies.
+
+    ``zorder=True`` clusters on the Z-CURVE over the (numeric)
+    ``cluster_by`` columns instead of lexicographic order: per-file
+    ranges become tight in EVERY clustered dimension, so pruning on the
+    second/third column skips files too — lexicographic only serves the
+    leading column (see ``table.zvalue_expr``)."""
     parent = table.current_snapshot()
     if parent is None:
         raise ValueError("cannot compact an empty table")
@@ -94,7 +101,8 @@ def compact(spark: SparkSession, table: CdcTable,
                 table.n_partitions * table.files_per_partition,
                 *table.key_cols)
         entries, ddl = table._write_data(df.persist(), sid,
-                                         cluster_by=tuple(cluster_by or ()))
+                                         cluster_by=tuple(cluster_by or ()),
+                                         zorder=zorder)
     finally:
         df.unpersist()
         table.files_per_partition = old_fpp

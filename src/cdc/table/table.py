@@ -70,6 +70,46 @@ def key_part_expr(key_cols: Sequence[str], n_partitions: int):
     return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_partitions)).cast("int")
 
 
+_ZBITS = 16  # per-column z-order resolution (bucket count = 2^16)
+
+
+def zvalue_expr(df: DataFrame, cols: Sequence[str]):
+    """Z-order curve value over numeric columns, as ONE codegen column
+    expression: each column is equi-width bucketed into 2^16 cells over
+    its [min, max] (one narrow agg pass collects the bounds), and the
+    bucket bits are interleaved — points close in EVERY dimension land
+    close on the curve, so range-partitioning by the z-value gives files
+    whose min/max are tight in ALL the clustered columns at once (the
+    multi-column data-skipping property lexicographic sort lacks for the
+    non-leading columns).
+
+    Equi-width is the deliberate trade at this layer: O(1) per row and
+    fully JVM-side. Heavily skewed columns waste cells; if that bites,
+    pre-map the column through its quantile rank and z-order the rank."""
+    if len(cols) < 2:
+        raise ValueError("z-order needs >= 2 columns (one column is a sort)")
+    bits = min(_ZBITS, 63 // len(cols))
+    n = 1 << bits
+    bounds = df.agg(*[f for c in cols
+                      for f in (F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                                F.max(F.col(c).cast("double")).alias(f"_hi_{c}"))]
+                    ).collect()[0]
+    z = F.lit(0).cast("long")
+    for k, c in enumerate(cols):
+        lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+        if lo is None or hi is None or hi <= lo:
+            continue  # constant/all-null column contributes nothing
+        b = F.width_bucket(F.col(c).cast("double"), F.lit(float(lo)),
+                           F.lit(float(hi)), F.lit(n)) - 1
+        b = F.coalesce(F.least(F.greatest(b, F.lit(0)),
+                               F.lit(n - 1)), F.lit(0)).cast("long")
+        for j in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, j).bitwiseAND(F.lit(1)),
+                            j * len(cols) + k))
+    return z
+
+
 def schema_ddl(schema: T.StructType, drop: Sequence[str] = ()) -> str:
     return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields if f.name not in drop)
 
@@ -503,7 +543,8 @@ class CdcTable:
     # -- write path (S6) -------------------------------------------------------
     def _write_data(self, df: DataFrame, snapshot_id: int,
                     kind: str = "base",
-                    cluster_by: Sequence[str] = ()) -> tuple[list[dict], str]:
+                    cluster_by: Sequence[str] = (),
+                    zorder: bool = False) -> tuple[list[dict], str]:
         """Stage data files for a snapshot; returns (manifest entries, ddl).
 
         Deterministic staging dir per snapshot id -> a retried commit
@@ -531,14 +572,15 @@ class CdcTable:
         sess_conf.set(ts_key, "TIMESTAMP_MICROS")
         try:
             return self._write_data_inner(df, rel_dir, out_dir, kind,
-                                          cluster_by=cluster_by)
+                                          cluster_by=cluster_by,
+                                          zorder=zorder)
         finally:
             (sess_conf.set(ts_key, old_ts_type) if old_ts_type
              else sess_conf.unset(ts_key))
 
     def _write_data_inner(self, df: DataFrame, rel_dir: str, out_dir: str,
-                          kind: str,
-                          cluster_by: Sequence[str] = ()) -> tuple[list[dict], str]:
+                          kind: str, cluster_by: Sequence[str] = (),
+                          zorder: bool = False) -> tuple[list[dict], str]:
         # per-key-column parquet bloom filters: point lookups (``lookup``)
         # skip row groups whose sorted-key min/max straddles the probe but
         # whose bloom filter rules it out — cheap at write time, O(row
@@ -558,9 +600,10 @@ class CdcTable:
             # compaction time, not per commit. Key sort within files stays
             # (lookups keep their row-group skipping); file-LEVEL stats
             # don't depend on in-file order.
-            (df.repartitionByRange(
-                    self.n_partitions * self.files_per_partition,
-                    PART_COL, *[F.col(c) for c in cluster_by])
+            order = ([zvalue_expr(df, cluster_by)] if zorder
+                     else [F.col(c) for c in cluster_by])
+            width = self.n_partitions * self.files_per_partition
+            (df.repartitionByRange(width, PART_COL, *order)
                .sortWithinPartitions(*self.key_cols)
                .write.mode("overwrite").options(**bloom)
                .partitionBy(PART_COL).parquet(out_dir))

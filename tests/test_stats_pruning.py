@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc.pipeline import apply_batch
@@ -136,3 +137,63 @@ def test_cluster_by_compaction_tightens_file_stats(spark, tmp_path):
     # lookups still work against clustered files (key sort preserved)
     hit = t.lookup(spark, repo="r7", path="p7")
     assert [(r.repo, r.score) for r in hit.collect()] == [("r7", 7.0)]
+
+
+def ev2(spark, rows, batch_id=0):
+    """rows: (repo, path, lsn, content, x, y, op) — two numeric dims."""
+    return (spark.createDataFrame(
+                rows, "repo string, path string, lsn long, content string, "
+                      "x double, y double, op string")
+            .select("*",
+                    F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+                    F.lit(batch_id).alias("batch_id")))
+
+
+def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
+    """compact(cluster_by=['x','y'], zorder=True): per-file ranges are
+    tight in BOTH dimensions — a narrow prune on x OR on y skips files.
+    Lexicographic clustering on the same columns only serves the leading
+    column; z-order must beat it on the trailing one."""
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    # x and y vary independently so neither orders the other
+    rows = [(f"r{i}", f"p{i}", i + 1, f"v{i}",
+             float(i % 64), float((i * 37) % 64), "U")
+            for i in range(1024)]
+    apply_batch(spark, t, ev2(spark, rows), "b0",
+                normalize=False, metrics=False)
+
+    from cdc.table.maintenance import compact
+    compact(spark, t, files_per_partition=4, cluster_by=["x", "y"],
+            zorder=True)
+    full = t.read(spark)
+    n_all = len(full.inputFiles())
+
+    def n_files(prune):
+        return len(t.read(spark, prune=prune).inputFiles())
+
+    # both dimensions prune independently
+    assert n_files({"x": (0.0, 7.9)}) <= n_all // 2
+    assert n_files({"y": (0.0, 7.9)}) <= n_all // 2
+    # and together prune harder than either alone
+    both = n_files({"x": (0.0, 7.9), "y": (0.0, 7.9)})
+    assert both <= n_files({"x": (0.0, 7.9)})
+    # results are exactly the unclustered truth
+    got = {(r.repo, r.x, r.y) for r in
+           t.read(spark, prune={"x": (0.0, 7.9)})
+           .filter("x < 8").select("repo", "x", "y").collect()}
+    want = {(r.repo, r.x, r.y) for r in
+            full.filter("x < 8").select("repo", "x", "y").collect()}
+    assert got == want
+
+    # lexicographic clustering on (x, y): trailing column prunes ~nothing
+    t2 = CdcTable(str(tmp_path / "t2"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t2, ev2(spark, rows), "b0",
+                normalize=False, metrics=False)
+    compact(spark, t2, files_per_partition=4, cluster_by=["x", "y"])
+    lex_y = len(t2.read(spark, prune={"y": (0.0, 7.9)}).inputFiles())
+    z_y = n_files({"y": (0.0, 7.9)})
+    assert z_y < lex_y
+
+    with pytest.raises(ValueError, match=">= 2"):
+        from cdc.table.table import zvalue_expr
+        zvalue_expr(full, ["x"])
