@@ -269,3 +269,59 @@ def test_expire_snapshots_older_than(spark, tmp_path):
     # future instant: keep_last governs as before
     assert expire_snapshots(t, keep_last=2,
                             older_than="2100-01-01T00:00:00+00:00") == [1, 2]
+
+
+def test_verify_table_fsck(spark, tmp_path):
+    """maintenance.verify_table: clean tables pass both tiers; file loss,
+    silent overwrite and in-place data tampering are all detected."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from cdc.table.maintenance import verify_table
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, ROWS), "b0",
+                normalize=False, metrics=False)
+    rep = verify_table(spark, t, check_data=True)
+    assert rep == {"ok": True, "errors": [], "files_checked": rep["files_checked"]}
+
+    snap = t.current_snapshot()
+    victims = [f for f in snap["files"] if int(f["rows"]) > 0]
+    p0 = f"{t.root}/{victims[0]['path']}"
+    p1 = f"{t.root}/{victims[1]['path']}"
+
+    import os
+
+    def drop_crc_sidecar(path):
+        # Hadoop's LocalFS keeps .crc sidecars that would catch the rewrite
+        # before our check runs; object stores have no sidecars — remove it
+        # so the test exercises the ENGINE's integrity tier
+        crc = os.path.join(os.path.dirname(path),
+                           f".{os.path.basename(path)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    # tamper a row's content in place: footer counts still match, only the
+    # sha invariant catches it
+    tab = pq.read_table(p0)
+    import pyarrow as pa
+    cols = {c: tab[c] for c in tab.column_names}
+    cols["content"] = pa.array(["TAMPERED"] * tab.num_rows, type=pa.string())
+    pq.write_table(pa.table(cols), p0)
+    drop_crc_sidecar(p0)
+    rep = verify_table(spark, t, check_data=True)
+    # footer lsn stats may survive the rewrite; the sha check must fire
+    assert not rep["ok"] and any("sha256" in e for e in rep["errors"])
+
+    # silent overwrite with a different file: row/lsn mismatch at the
+    # metadata tier (no Spark job needed)
+    shutil.copyfile(p1, p0)
+    drop_crc_sidecar(p0)
+    rep = verify_table(spark, t)
+    assert not rep["ok"] and any("footer" in e for e in rep["errors"])
+
+    # file loss
+    os.remove(p0)
+    rep = verify_table(spark, t)
+    assert any("missing" in e for e in rep["errors"])
