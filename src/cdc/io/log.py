@@ -69,3 +69,51 @@ def stream_log(spark: SparkSession, log_dir: str, registry: SchemaRegistry,
     for d in streams[1:]:
         df = df.unionByName(d)
     return df
+
+
+def truncate_log(log_dir: str, below_lsn: int,
+                 reorder_horizon: int = 0) -> list[str]:
+    """Log retention: remove WHOLE log files whose every event is already
+    durably applied — i.e. ``max lsn < below_lsn - reorder_horizon``.
+    Returns the removed paths.
+
+    ``below_lsn`` is normally the table's committed ``lsn_high``;
+    ``reorder_horizon`` keeps a safety tail when the producer may still
+    deliver reordered events near the high-water mark (the same horizon
+    the resume path tolerates). Decision is footer-metadata only
+    (pyarrow), file-granular, and crash-safe: deleting an applied file
+    twice, or crashing mid-sweep, loses nothing — replay correctness
+    never depends on applied files still existing.
+
+    A file that STRADDLES the horizon is kept whole; the lsn pushdown
+    skips its applied rows at read time, so retention granularity costs
+    scan metadata, not correctness. At 10^10 events this is the piece
+    that keeps the binlog archive bounded by the reorder window instead
+    of growing forever."""
+    import pyarrow.parquet as pq
+
+    horizon = below_lsn - reorder_horizon
+    removed: list[str] = []
+    for _version, vdir in _version_dirs(log_dir):
+        for name in sorted(os.listdir(vdir)):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(vdir, name)
+            meta = pq.ParquetFile(full).metadata
+            names = [meta.schema.column(i).name
+                     for i in range(meta.num_columns)]
+            if "lsn" not in names:
+                continue
+            idx = names.index("lsn")
+            hi = None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    hi = st.max if hi is None else max(hi, st.max)
+            if hi is not None and hi < horizon:
+                os.remove(full)
+                crc = os.path.join(vdir, f".{name}.crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
+                removed.append(full)
+    return removed

@@ -380,3 +380,51 @@ def test_full_tail_then_grouped_resume_prunes_and_applies(spark, tmp_path):
     assert r2.n_commits == 1 and r2.batch_keys == ["grp-00000001-00000001"]
     state = {r["path"]: r["_lsn"] for r in table.read(spark).collect()}
     assert state == {"a.py": 3, "b.py": 2}
+
+
+def test_truncate_log_keeps_resume_correct(spark, tmp_path):
+    """io.log.truncate_log: fully-applied log files are removed by footer
+    metadata alone; a straddling file survives; a later resume over the
+    truncated log applies exactly the unapplied tail."""
+    import glob
+
+    from cdc.io.log import truncate_log
+    from cdc.pipeline import replay
+    from cdc.table.table import CdcTable
+    from cdc.testing.gen import gen_change_events, write_change_log
+
+    log = str(tmp_path / "log")
+    ev = gen_change_events(spark, n_keys=200, mean_events_per_key=6, seed=5)
+    write_change_log(ev, log, events_per_file=300)
+    n_before = len(glob.glob(f"{log}/v=*/*.parquet"))
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    replay(spark, log, t, batches_per_commit=None, metrics=False)
+    want = {(r.repo, r.path, r._content_sha256)
+            for r in t.read(spark).collect()}
+    hi = t.lsn_high()
+
+    removed = truncate_log(log, below_lsn=hi)
+    left = glob.glob(f"{log}/v=*/*.parquet")
+    # everything except (at most one straddler per version dir) goes
+    assert removed and len(left) < n_before
+    assert len(left) <= 3        # one straddling file per v= dir at most
+
+    # new tail after truncation; resume applies it, final state correct
+    ev2 = gen_change_events(spark, n_keys=40, mean_events_per_key=3, seed=6)
+    from pyspark.sql import functions as F
+    ev2 = ev2.withColumn("lsn", F.col("lsn") + hi)
+    log2 = str(tmp_path / "log")  # append into same dir layout
+    write_change_log(ev2, f"{tmp_path}/log2", events_per_file=300)
+    replay(spark, f"{tmp_path}/log2", t, batches_per_commit=None,
+           metrics=False)
+    # replaying the TRUNCATED original log is a no-op (all below lsn_high)
+    r = replay(spark, log, t, batches_per_commit=None, metrics=False)
+    got = {(r.repo, r.path, r._content_sha256)
+           for r in t.read(spark).collect()}
+    # keys from the first log keep their final state unless ev2 touched them
+    ev2_keys = {(x.repo, x.path) for x in ev2.select("repo", "path")
+                .distinct().collect()}
+    for k0, k1, sha in want:
+        if (k0, k1) not in ev2_keys:
+            assert (k0, k1, sha) in got
