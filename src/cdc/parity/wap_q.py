@@ -455,3 +455,61 @@ def ddl_alter_lifecycle(spark, sf_dir):
                   .withColumnRenamed("content", "body"),
                 "b1", normalize=False, metrics=False)
     return t.read(spark).select("repo", "path", "body")
+
+
+@q("sql_facade_dml", """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,
+         event_id AS lsn,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS content,
+         value AS val
+  FROM events
+),
+state AS (
+  SELECT repo, path, content, val FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY lsn DESC) AS rn
+    FROM ev) WHERE rn = 1
+),
+upd AS (
+  SELECT repo, path,
+         CASE WHEN val > 300 THEN content || '+hot' ELSE content END
+           AS content,
+         CASE WHEN val > 300 THEN val * 2 ELSE val END AS val
+  FROM state
+)
+SELECT repo, path, content AS body, val FROM upd WHERE path <> 'error'
+""")
+def sql_facade_dml(spark, sf_dir):
+    """The SQL façade (cdc/sql.py + cdc/catalog.py): the dml_update_delete
+    lifecycle driven entirely through SQL STRINGS — UPDATE ... SET ...
+    WHERE, DELETE FROM ... WHERE, ALTER TABLE RENAME COLUMN, and the final
+    SELECT with its FROM reference bound through the catalog. Same oracle
+    algebra; routing, statement parsing and name resolution are what this
+    query pins."""
+    from cdc.catalog import Catalog
+    from cdc.pipeline import apply_batch
+    from cdc.sql import execute
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.col("event_type").alias("path"),
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.lit("U").alias("op"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("content"),
+        F.col("value").alias("val"),
+        F.lit(0).alias("batch_id"))
+
+    work = _scratch("cdc_sqlq")
+    cat = Catalog(f"{work}/catalog")
+    t = cat.create("db.src", n_partitions=8)
+    apply_batch(spark, t, ev, "b0", normalize=False, metrics=False)
+    execute(spark, cat,
+            "UPDATE db.src SET content = concat(content, '+hot'), "
+            "val = val * 2 WHERE val > 300", mode="mor")
+    execute(spark, cat, "DELETE FROM db.src WHERE path = 'error'",
+            mode="mor")
+    execute(spark, cat, "ALTER TABLE db.src RENAME COLUMN content TO body")
+    return execute(spark, cat,
+                   "SELECT repo, path, body, val FROM db.src")

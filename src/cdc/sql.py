@@ -1,0 +1,196 @@
+"""SQL façade: one ``execute(spark, catalog, statement)`` entry that
+routes a narrow, loudly-bounded SQL dialect onto the engine's primitives.
+
+Supported statements (table references resolve through ``cdc.catalog``):
+
+- ``CREATE TABLE db.t KEY (repo, path) [PARTITIONS n] [LAYOUT key_hash]``
+- ``DROP TABLE db.t``                      (name only; data stays)
+- ``INSERT INTO db.t <SELECT ...>``        (rows become op='U' upserts at
+  one statement LSN — CDC tables have no blind append)
+- ``DELETE FROM db.t WHERE <pred>``        → cdc.table.mutate.delete_where
+- ``UPDATE db.t SET c = expr, ... WHERE <pred>`` → update_where
+- ``ALTER TABLE db.t RENAME COLUMN a TO b | DROP COLUMN a |
+  ADD COLUMN a <type> | ALTER COLUMN a TYPE <type>`` → cdc.table.alter
+- ``OPTIMIZE db.t [ZORDER BY (a, b)]``     → maintenance.compact
+- ``VACUUM db.t [RETAIN k SNAPSHOTS]``     → expire_snapshots + orphan GC
+- ``SELECT ...`` over registered names, with time travel:
+  ``FROM db.t [VERSION AS OF k | TIMESTAMP AS OF 'ts']`` — each reference
+  is bound to a temp view of the right snapshot, then handed to
+  ``spark.sql`` (full Spark SQL power downstream of the binding).
+
+Everything mutating runs through ``apply_batch``/commit machinery, so the
+statements inherit exactly-once ledgers, CAS concurrency and MOR/CoW
+semantics. Unrecognized statements raise — this is a façade, not a parser;
+the DataFrame API underneath remains the full surface.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc.catalog import Catalog
+
+_WS = r"\s+"
+_ID = r"[A-Za-z_][A-Za-z0-9_]*"
+_TBL = rf"{_ID}(?:\.{_ID})?"
+
+
+def _key(stmt: str) -> str:
+    return f"sql-{uuid.uuid4().hex[:12]}"
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas (SET lists carry exprs with calls)."""
+    out, depth, buf = [], 0, []
+    for ch in s + ",":
+        if ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            depth += ch in "(["
+            depth -= ch in ")]"
+            buf.append(ch)
+    return [p for p in out if p]
+
+
+def execute(spark: SparkSession, catalog: Catalog, stmt: str,
+            **kw) -> DataFrame | dict | None:
+    """Route one statement. Returns a DataFrame for SELECT, the commit
+    snapshot dict for mutations, None for DDL. ``kw`` passes through to
+    the underlying primitive (e.g. ``mode='cow'``, ``conflict_retries``)."""
+    s = stmt.strip().rstrip(";").strip()
+
+    m = re.match(rf"CREATE{_WS}TABLE{_WS}({_TBL}){_WS}KEY\s*\(([^)]+)\)"
+                 rf"(?:{_WS}PARTITIONS{_WS}(\d+))?"
+                 rf"(?:{_WS}LAYOUT{_WS}({_ID}))?$", s, re.I)
+    if m:
+        name, keys, parts, layout = m.groups()
+        catalog.create(name, key_cols=tuple(k.strip() for k in keys.split(",")),
+                       n_partitions=int(parts or 16),
+                       layout=(layout or "key_hash").lower(), **kw)
+        return None
+
+    m = re.match(rf"DROP{_WS}TABLE{_WS}({_TBL})$", s, re.I)
+    if m:
+        catalog.drop(m.group(1))
+        return None
+
+    m = re.match(rf"INSERT{_WS}INTO{_WS}({_TBL}){_WS}(SELECT\b.*)$", s,
+                 re.I | re.S)
+    if m:
+        from datetime import datetime, timezone
+
+        from cdc.pipeline import apply_batch
+
+        t = catalog.get(m.group(1))
+        rows = execute(spark, catalog, m.group(2))
+        ts = datetime.now(timezone.utc).isoformat()
+        ev = (rows
+              .withColumn("lsn", F.lit(t.lsn_high() + 1))
+              .withColumn("ts", F.to_timestamp(F.lit(ts)))
+              .withColumn("op", F.lit("U"))
+              .withColumn("batch_id", F.lit(0).cast("long")))
+        return apply_batch(spark, t, ev, _key(s), normalize=False,
+                           metrics=False, **kw)
+
+    m = re.match(rf"DELETE{_WS}FROM{_WS}({_TBL}){_WS}WHERE{_WS}(.+)$", s,
+                 re.I | re.S)
+    if m:
+        from cdc.table.mutate import delete_where
+
+        return delete_where(spark, catalog.get(m.group(1)), m.group(2),
+                            _key(s), **kw)
+
+    m = re.match(rf"UPDATE{_WS}({_TBL}){_WS}SET{_WS}(.+?){_WS}WHERE{_WS}(.+)$",
+                 s, re.I | re.S)
+    if m:
+        from cdc.table.mutate import update_where
+
+        sets = {}
+        for part in _split_top(m.group(2)):
+            col, _, expr = part.partition("=")
+            sets[col.strip()] = expr.strip()
+        return update_where(spark, catalog.get(m.group(1)), m.group(3),
+                            sets, _key(s), **kw)
+
+    m = re.match(rf"ALTER{_WS}TABLE{_WS}({_TBL}){_WS}(.+)$", s, re.I | re.S)
+    if m:
+        from cdc.table import alter
+
+        t, rest = catalog.get(m.group(1)), m.group(2).strip()
+        m2 = re.match(rf"RENAME{_WS}COLUMN{_WS}({_ID}){_WS}TO{_WS}({_ID})$",
+                      rest, re.I)
+        if m2:
+            return alter.rename_column(t, m2.group(1), m2.group(2))
+        m2 = re.match(rf"DROP{_WS}COLUMN{_WS}({_ID})$", rest, re.I)
+        if m2:
+            return alter.drop_column(t, m2.group(1))
+        m2 = re.match(rf"ADD{_WS}COLUMN{_WS}({_ID}){_WS}(.+)$", rest, re.I)
+        if m2:
+            return alter.add_column(t, m2.group(1), m2.group(2))
+        m2 = re.match(rf"ALTER{_WS}COLUMN{_WS}({_ID}){_WS}TYPE{_WS}(.+)$",
+                      rest, re.I)
+        if m2:
+            return alter.widen_column(t, m2.group(1), m2.group(2))
+        raise ValueError(f"unsupported ALTER TABLE clause: {rest!r}")
+
+    m = re.match(rf"OPTIMIZE{_WS}({_TBL})"
+                 rf"(?:{_WS}ZORDER{_WS}BY\s*\(([^)]+)\))?$", s, re.I)
+    if m:
+        from cdc.table.maintenance import compact
+
+        cols = ([c.strip() for c in m.group(2).split(",")]
+                if m.group(2) else None)
+        return compact(spark, catalog.get(m.group(1)), cluster_by=cols,
+                       zorder=bool(cols and len(cols) > 1), **kw)
+
+    m = re.match(rf"VACUUM{_WS}({_TBL})"
+                 rf"(?:{_WS}RETAIN{_WS}(\d+){_WS}SNAPSHOTS)?$", s, re.I)
+    if m:
+        from cdc.table.maintenance import expire_snapshots, vacuum_orphans
+
+        t = catalog.get(m.group(1))
+        expired = expire_snapshots(t, keep_last=int(m.group(2) or 3))
+        return {"expired": expired, "removed": vacuum_orphans(t)}
+
+    if re.match(r"SELECT\b", s, re.I):
+        return _select(spark, catalog, s)
+
+    raise ValueError(f"unsupported statement: {stmt!r}")
+
+
+def _select(spark: SparkSession, catalog: Catalog, s: str) -> DataFrame:
+    """Bind catalog table references (with optional time travel) to temp
+    views, then delegate to spark.sql. References are matched after FROM
+    and JOIN keywords only — plain identifiers elsewhere are untouched."""
+    bound = {}
+
+    def bind(name: str, version: str | None, ts: str | None) -> str:
+        view = re.sub(r"\W", "_", f"cdc_{name}_{version or ''}_{ts or ''}")
+        if view not in bound:
+            t = catalog.get(name)
+            df = t.read(spark,
+                        snapshot_id=int(version) if version else None,
+                        as_of=ts.strip("'\"") if ts else None)
+            df.createOrReplaceTempView(view)
+            bound[view] = True
+        return view
+
+    pat = re.compile(
+        rf"\b(FROM|JOIN){_WS}({_TBL})"
+        rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+)"
+        rf"|{_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}('[^']*'))?", re.I)
+
+    def repl(m: re.Match) -> str:
+        name = m.group(2)
+        try:
+            catalog.root_of(name)
+        except (KeyError, ValueError):
+            return m.group(0)          # not ours: subquery alias, etc.
+        return f"{m.group(1)} {bind(name, m.group(3), m.group(4))}"
+
+    return spark.sql(pat.sub(repl, s))

@@ -1,0 +1,106 @@
+"""The SQL façade (cdc/sql.py) + catalog (cdc/catalog.py): named tables,
+DML/DDL routing onto the commit machinery, SELECT with time travel."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc.catalog import Catalog
+from cdc.sql import execute
+
+
+@pytest.fixture
+def cat(tmp_path):
+    return Catalog(str(tmp_path / "catalog"))
+
+
+def q(spark, cat, stmt, **kw):
+    return execute(spark, cat, stmt, **kw)
+
+
+def test_sql_lifecycle_end_to_end(spark, cat):
+    q(spark, cat, "CREATE TABLE db.src KEY (repo, path) PARTITIONS 4 "
+                  "LAYOUT key_hash")
+    assert cat.tables() == ["db.src"]
+
+    seed = spark.createDataFrame(
+        [("r1", "a", "v1", 10), ("r2", "b", "w1", 20), ("r3", "c", "x1", 30)],
+        "repo string, path string, content string, score int")
+    seed.createOrReplaceTempView("seed")
+    q(spark, cat, "INSERT INTO db.src SELECT * FROM seed")
+
+    got = q(spark, cat, "SELECT repo, content, score FROM db.src "
+                        "ORDER BY repo").collect()
+    assert [(r.repo, r.content, r.score) for r in got] == \
+        [("r1", "v1", 10), ("r2", "w1", 20), ("r3", "x1", 30)]
+
+    # UPDATE / DELETE route through the transactional mutate path
+    q(spark, cat, "UPDATE db.src SET score = score * 2 WHERE repo = 'r1'")
+    q(spark, cat, "DELETE FROM db.src WHERE repo = 'r3'")
+    got = {(r.repo, r.score) for r in
+           q(spark, cat, "SELECT repo, score FROM db.src").collect()}
+    assert got == {("r1", 20), ("r2", 20)}
+
+    # time travel: version 1 (the INSERT) still shows r3 and score 10
+    old = {(r.repo, r.score) for r in
+           q(spark, cat, "SELECT repo, score FROM db.src VERSION AS OF 1")
+           .collect()}
+    assert old == {("r1", 10), ("r2", 20), ("r3", 30)}
+
+    # ALTER: rename + widen through SQL
+    q(spark, cat, "ALTER TABLE db.src RENAME COLUMN content TO body")
+    q(spark, cat, "ALTER TABLE db.src ALTER COLUMN score TYPE bigint")
+    got = q(spark, cat, "SELECT repo, body FROM db.src WHERE repo = 'r1'")
+    assert got.collect()[0].body == "v1"
+
+    # OPTIMIZE + VACUUM
+    snap = q(spark, cat, "OPTIMIZE db.src")
+    assert snap["operation"] == "compact"
+    rep = q(spark, cat, "VACUUM db.src RETAIN 2 SNAPSHOTS")
+    assert rep["expired"]
+
+    # joins against ordinary Spark tables/views still work
+    dim = spark.createDataFrame([("r1", "alpha")], "repo string, label string")
+    dim.createOrReplaceTempView("dim")
+    j = q(spark, cat, "SELECT s.repo, d.label FROM db.src s "
+                      "JOIN dim d ON s.repo = d.repo").collect()
+    assert [(r.repo, r.label) for r in j] == [("r1", "alpha")]
+
+    q(spark, cat, "DROP TABLE db.src")
+    assert cat.tables() == []
+    with pytest.raises(ValueError, match="unsupported"):
+        q(spark, cat, "GRANT ALL ON db.src TO nobody")
+
+
+def test_sql_optimize_zorder_and_catalog_publish(spark, cat):
+    from cdc.table import wap
+
+    q(spark, cat, "CREATE TABLE db.m KEY (repo, path) PARTITIONS 2")
+    rows = spark.createDataFrame(
+        [(f"r{i}", f"p{i}", float(i % 8), float((i * 3) % 8))
+         for i in range(64)],
+        "repo string, path string, x double, y double")
+    rows.createOrReplaceTempView("rows64")
+    q(spark, cat, "INSERT INTO db.m SELECT * FROM rows64")
+    snap = q(spark, cat, "OPTIMIZE db.m ZORDER BY (x, y)")
+    assert snap["operation"] == "compact"
+    assert all("x" in f.get("stats", {}) for f in snap["files"])
+
+    # multi-table publish by name: stage onto both, publish atomically
+    q(spark, cat, "CREATE TABLE db.n KEY (repo, path) PARTITIONS 2")
+    q(spark, cat, "INSERT INTO db.n SELECT repo, path, x FROM rows64")
+    for name in ("db.m", "db.n"):
+        t = cat.get(name)
+        batch = (t.read(spark).limit(1)
+                 .select("repo", "path",
+                         F.lit(999).cast("long").alias("lsn"),
+                         F.current_timestamp().alias("ts"),
+                         F.lit("U").alias("op"),
+                         F.lit(0).cast("long").alias("batch_id")))
+        wap.stage(spark, t, batch, f"stage-{name}", ref="audit")
+    published = cat.publish_all([("db.m", "audit"), ("db.n", "audit")])
+    assert len(published) == 2
+    assert all(cat.get(n).current_snapshot()["snapshot_id"] ==
+               p["snapshot_id"]
+               for n, p in zip(("db.m", "db.n"), published))
