@@ -169,3 +169,44 @@ def test_replication_via_stream_source(spark, table, tmp_path):
           .trigger(availableNow=True).start())
     q2.awaitTermination(180)
     assert rows_of(replica.read(spark)) == src
+
+
+def test_batch_pushdown_prunes_files(spark, tmp_path):
+    """pushFilters → manifest file pruning: a range predicate on a stats
+    column (or _lsn) shrinks the partition list; results stay exact
+    because Spark re-applies the predicate (superset contract)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from cdc.spark_source import CdcPushdownBatchReader
+
+    spark.dataSource.register(CdcTableDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash",
+                 stats_cols=("score",))
+    rows = [(f"r{i}", f"p{i}", i + 1, f"v{i}", "U") for i in range(64)]
+    df = (ev(spark, rows)
+          .withColumn("score", (F.col("lsn") % 16).cast("double")))
+    apply_batch(spark, t, df, "b0", normalize=False, metrics=False)
+    # cluster so per-file score ranges are disjoint -> pruning can bite
+    from cdc.table.maintenance import compact
+    compact(spark, t, files_per_partition=4, cluster_by=["score"])
+
+    r = CdcPushdownBatchReader(t.root, {"root": t.root})
+    n_all = len(r.partitions())
+    leftover = list(r.pushFilters([GreaterThanOrEqual(("score",), 14.0)]))
+    assert len(leftover) == 1          # exact predicate stays with Spark
+    assert len(r.partitions()) < n_all
+
+    r2 = CdcPushdownBatchReader(t.root, {"root": t.root})
+    list(r2.pushFilters([EqualTo(("_lsn",), 1)]))
+    assert len(r2.partitions()) <= n_all
+
+    # end to end: the SQL filter returns exactly the right rows
+    got = (spark.read.format("cdctable").option("root", t.root)
+           .option("pushdown", "true").load()
+           .filter("score >= 14.0").select("repo", "score").collect())
+    want = (t.read(spark).filter("score >= 14.0")
+            .select("repo", "score").collect())
+    assert sorted((x.repo, x.score) for x in got) == \
+        sorted((x.repo, x.score) for x in want)
+    spark.conf.unset("spark.sql.python.filterPushdown.enabled")
