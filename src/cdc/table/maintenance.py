@@ -244,6 +244,57 @@ def expire_snapshots(table: CdcTable, keep_last: int = 3,
     return expired
 
 
+def plan_maintenance(table: CdcTable,
+                     max_files_per_partition: int = 4,
+                     keep_snapshots: int = 10,
+                     tombstone_horizon: int | None = None) -> dict:
+    """The autonomous-table-service planner: inspect METADATA ONLY and
+    return the maintenance actions currently worth running, as a dict the
+    caller (a cron job, a post-commit hook) can execute directly:
+
+    - ``compact_parts`` — partitions fragmented past
+      ``max_files_per_partition`` or carrying MOR delta layers (the
+      exact selection ``compact(max_files_per_partition=…)`` would make);
+    - ``vacuum_tombstones_below_lsn`` — passthrough of the caller's
+      reordering horizon, attached so the compaction it recommends also
+      vacuums (None = keep tombstones);
+    - ``expire`` — whether history exceeds ``keep_snapshots``;
+    - ``orphan_dirs`` — staged data dirs no live snapshot references
+      (crashed/conflicted commits) that ``vacuum_orphans`` would remove.
+
+    Everything is O(metadata); nothing reads a data file. The planner
+    NEVER executes — recommending and acting stay separable so operators
+    can gate actions (e.g. audit windows) without re-deriving the plan."""
+    snap = table.current_snapshot()
+    if snap is None:
+        return {"compact_parts": [], "expire": False, "orphan_dirs": [],
+                "vacuum_tombstones_below_lsn": tombstone_horizon}
+    by_part: dict[int, int] = {}
+    delta_parts: set[int] = set()
+    for f in snap["files"]:
+        p = int(f["part"])
+        by_part[p] = by_part.get(p, 0) + 1
+        if f.get("kind") == "delta":
+            delta_parts.add(p)
+    compact_parts = sorted(p for p, n in by_part.items()
+                           if n > max_files_per_partition or p in delta_parts)
+
+    live_dirs = {f["path"].split("/", 2)[1]
+                 for s in table.snapshots() for f in s["files"]}
+    orphans = []
+    data_root = os.path.join(table.root, "data")
+    if os.path.isdir(data_root):
+        orphans = [n for n in sorted(os.listdir(data_root))
+                   if n.startswith("snap-") and n not in live_dirs]
+
+    return {
+        "compact_parts": compact_parts,
+        "vacuum_tombstones_below_lsn": tombstone_horizon,
+        "expire": len(table.snapshots()) > keep_snapshots,
+        "orphan_dirs": orphans,
+    }
+
+
 def verify_table(spark: SparkSession, table: CdcTable,
                  snapshot_id: int | None = None,
                  check_data: bool = False) -> dict:

@@ -325,3 +325,36 @@ def test_verify_table_fsck(spark, tmp_path):
     os.remove(p0)
     rep = verify_table(spark, t)
     assert any("missing" in e for e in rep["errors"])
+
+
+def test_plan_maintenance_advisor(spark, tmp_path):
+    """maintenance.plan_maintenance: metadata-only recommendations match
+    what compact/vacuum would actually select."""
+    from cdc.table.maintenance import compact, plan_maintenance
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, ROWS), "b0",
+                normalize=False, metrics=False)
+    plan = plan_maintenance(t, max_files_per_partition=4)
+    assert plan["compact_parts"] == [] and not plan["expire"]
+    assert plan["orphan_dirs"] == []
+
+    # MOR deltas fragment some partitions -> advisor flags exactly those
+    apply_batch(spark, t, ev(spark, [("r1", "a", 9, "v9", "U")]), "b1",
+                normalize=False, metrics=False, mode="mor")
+    plan = plan_maintenance(t, max_files_per_partition=4, keep_snapshots=1)
+    snap = t.current_snapshot()
+    want = sorted({int(f["part"]) for f in snap["files"]
+                   if f.get("kind") == "delta"})
+    assert plan["compact_parts"] == want
+    assert plan["expire"]          # 2 snapshots > keep_snapshots=1
+    # acting on the plan clears it
+    compact(spark, t, parts=plan["compact_parts"])
+    plan2 = plan_maintenance(t, max_files_per_partition=4)
+    assert plan2["compact_parts"] == []
+    # a crashed writer's staging dir shows up as an orphan recommendation
+    import os
+    os.makedirs(f"{t.root}/data/snap-000000000099-deadbeef/part=0",
+                exist_ok=True)
+    plan3 = plan_maintenance(t)
+    assert plan3["orphan_dirs"] == ["snap-000000000099-deadbeef"]
