@@ -125,3 +125,70 @@ def test_rename_through_datasource_and_feed(spark, table):
     feed = change_feed(spark, table, 1, 3)
     rows = [(r.repo, r.body, r._change_type) for r in feed.collect()]
     assert rows == [("r1", "v2", "update")]
+
+
+# -- property: random ALTER sequences vs a pure-Python column model --------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_POOL = ["c1", "c2", "c3"]
+
+
+@st.composite
+def _alter_programs(draw):
+    """Random sequences of (rename|drop|add) over a small column pool."""
+    ops = []
+    for _ in range(draw(st.integers(min_value=1, max_value=6))):
+        kind = draw(st.sampled_from(["rename", "drop", "add"]))
+        ops.append((kind,
+                    draw(st.sampled_from(_POOL + ["x1", "x2"])),
+                    draw(st.sampled_from(["x1", "x2", "x3"]))))
+    return ops
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_alter_programs())
+def test_alter_sequences_match_column_model(spark, tmp_path_factory, prog):
+    """Any legal sequence of rename/drop/add leaves the table readable
+    with exactly the model's (column -> original-source) mapping: renamed
+    columns serve their original data, re-added names serve NULL."""
+    tmp = tmp_path_factory.mktemp("alterprop")
+    t = CdcTable(str(tmp / "t"), n_partitions=2, layout="key_hash")
+    base = (spark.createDataFrame(
+                [("r1", "a", 1, "v", 11, 22, 33)],
+                "repo string, path string, lsn long, content string, "
+                "c1 int, c2 int, c3 int")
+            .select("*",
+                    F.lit("U").alias("op"),
+                    F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+                    F.lit(0).alias("batch_id")))
+    apply_batch(spark, t, base, "b0", normalize=False, metrics=False)
+
+    # model: current name -> original column it must serve (None = re-add)
+    model = {"c1": "c1", "c2": "c2", "c3": "c3"}
+    for kind, a, b in prog:
+        try:
+            if kind == "rename":
+                alter.rename_column(t, a, b)
+                model[b] = model.pop(a)
+            elif kind == "drop":
+                alter.drop_column(t, a)
+                model.pop(a)
+            else:
+                alter.add_column(t, a, "int")
+                model[a] = None
+        except ValueError:
+            # illegal against current schema: engine and model both no-op
+            continue
+
+    row = t.read(spark).collect()[0].asDict()
+    originals = {"c1": 11, "c2": 22, "c3": 33}
+    for cur, src in model.items():
+        assert row[cur] == (originals[src] if src else None), \
+            f"{cur} (from {src}) after {prog}"
+    # no stale names survive
+    for pool in ("c1", "c2", "c3", "x1", "x2", "x3"):
+        if pool not in model:
+            assert pool not in row
