@@ -426,10 +426,15 @@ def new_snapshot(
     committed_ts: str = "",
     snapshot_id: int | None = None,
     column_ids: dict[str, int] | None = None,
+    properties: dict[str, str] | None = None,
 ) -> dict[str, Any]:
     parent_id = parent["snapshot_id"] if parent else 0
     ledger = list(parent["committed_batches"]) if parent else []
     ledger.append(batch_key)
+    # table properties (constraints, owner tags, …) carry forward unless
+    # the commit explicitly replaces them (alter.set_property)
+    if properties is None:
+        properties = (parent or {}).get("properties")
     ids = _assign_column_ids(parent, schema_ddl, column_ids)
     # stamp freshly written files with their columns' field ids: the read
     # path maps file columns to current names BY ID, so later renames/drops
@@ -445,7 +450,7 @@ def new_snapshot(
                     nxt += 1
                 row.append(ids[n])
             e["ids"] = row
-    return {
+    out = {
         "snapshot_id": snapshot_id if snapshot_id is not None else parent_id + 1,
         "parent_id": parent_id,
         "batch_key": batch_key,
@@ -457,6 +462,9 @@ def new_snapshot(
         "column_ids": ids,
         "files": files,
     }
+    if properties:
+        out["properties"] = dict(properties)
+    return out
 
 
 # -- multi-table atomic publish (cross-table transaction) -------------------

@@ -110,6 +110,19 @@ def apply_batch(
     # merge/write) — cache it so the log scan -> dedup -> LWW chain runs once.
     final = final.persist()
     try:
+        # CHECK constraints (alter.set_check): evaluate every declared
+        # predicate over the batch's winner rows in ONE aggregate pass and
+        # refuse the commit on any violation — nothing lands, no ledger
+        # entry, replaying the corrected batch under the same key works.
+        # Tombstones are exempt (a delete row carries no payload to check).
+        props = (table.current_snapshot() or {}).get("properties") or {}
+        checks = {k[len("check."):]: F.expr(v) for k, v in props.items()
+                  if k.startswith("check.")}
+        if checks and image == "full":
+            from cdc import quality
+            live = (final.filter(F.col("op") != "D")
+                    if "op" in final.columns else final)
+            quality.enforce(live, checks)
         from cdc.meta.store import CommitConflictError
         attempt = 0
         while True:

@@ -136,6 +136,17 @@ def execute(spark: SparkSession, catalog: Catalog, stmt: str,
                       rest, re.I)
         if m2:
             return alter.widen_column(t, m2.group(1), m2.group(2))
+        m2 = re.match(rf"ADD{_WS}CONSTRAINT{_WS}({_ID}){_WS}CHECK\s*"
+                      rf"\((.+)\)$", rest, re.I | re.S)
+        if m2:
+            return alter.set_check(t, m2.group(1), m2.group(2))
+        m2 = re.match(rf"DROP{_WS}CONSTRAINT{_WS}({_ID})$", rest, re.I)
+        if m2:
+            return alter.drop_check(t, m2.group(1))
+        m2 = re.match(rf"SET{_WS}TBLPROPERTIES\s*\(\s*'([^']+)'\s*=\s*"
+                      rf"'([^']*)'\s*\)$", rest, re.I)
+        if m2:
+            return alter.set_property(t, m2.group(1), m2.group(2))
         raise ValueError(f"unsupported ALTER TABLE clause: {rest!r}")
 
     m = re.match(rf"OPTIMIZE{_WS}({_TBL})"

@@ -159,3 +159,62 @@ def widen_column(table: CdcTable, col: str, new_type: str) -> dict:
         n: i + 1 for i, (n, _) in enumerate(fields)}
     out = [(n, new_type if n == col else t) for n, t in fields]
     return _commit_alter(table, parent, out, ids, f"widen-{col}")
+
+
+# -- table properties + CHECK constraints -----------------------------------
+
+def set_property(table: CdcTable, key: str, value: str) -> dict:
+    """Set a table property as a metadata-only commit. Properties carry
+    forward through every subsequent commit; ``check.<name>`` properties
+    are CHECK CONSTRAINTS — ``apply_batch`` evaluates each as a SQL
+    predicate over the batch's winner rows (op != 'D') in one aggregate
+    pass and REFUSES the commit (``quality.ExpectationError``) if any row
+    violates — the Delta ``ALTER TABLE ADD CONSTRAINT`` analog. Applies
+    to every write that routes through apply_batch: replay, streaming
+    epochs, INSERT/UPDATE via SQL or mutate."""
+    parent = table.current_snapshot()
+    if parent is None:
+        raise ValueError("cannot alter an empty table — commit first")
+    props = dict(parent.get("properties") or {})
+    props[str(key)] = str(value)
+    return _props_commit(table, parent, props, f"setprop-{key}")
+
+
+def unset_property(table: CdcTable, key: str) -> dict:
+    parent = table.current_snapshot()
+    if parent is None:
+        raise ValueError("cannot alter an empty table — commit first")
+    props = dict(parent.get("properties") or {})
+    props.pop(str(key), None)
+    return _props_commit(table, parent, props, f"unsetprop-{key}")
+
+
+def set_check(table: CdcTable, name: str, predicate_sql: str) -> dict:
+    """Sugar: ``set_property(table, 'check.<name>', predicate)``."""
+    return set_property(table, f"check.{name}", predicate_sql)
+
+
+def drop_check(table: CdcTable, name: str) -> dict:
+    return unset_property(table, f"check.{name}")
+
+
+def _props_commit(table: CdcTable, parent: dict,
+                  props: dict[str, str], what: str) -> dict:
+    sid = store.next_snapshot_id(table.root)
+    snap = store.new_snapshot(
+        parent, batch_key=f"alter-{sid:08d}-{what}",
+        lsn_high=parent["lsn_high"],
+        files=[{**f, "origin": "existing"} for f in parent["files"]],
+        schema_ddl=parent["schema_ddl"],
+        operation="alter",
+        committed_ts=datetime.now(timezone.utc).isoformat(),
+        snapshot_id=sid,
+        column_ids=parent.get("column_ids"),
+        properties=props)
+    if not props:
+        snap.pop("properties", None)   # explicit clear, not inherit
+        snap["properties"] = {}
+    snap["table_config"] = table.table_config()
+    store.write_snapshot(table.root, snap,
+                         expected_parent=parent["snapshot_id"])
+    return snap

@@ -104,3 +104,21 @@ def test_sql_optimize_zorder_and_catalog_publish(spark, cat):
     assert all(cat.get(n).current_snapshot()["snapshot_id"] ==
                p["snapshot_id"]
                for n, p in zip(("db.m", "db.n"), published))
+
+
+def test_sql_constraints(spark, cat):
+    from cdc import quality
+
+    q(spark, cat, "CREATE TABLE db.c KEY (repo, path) PARTITIONS 2")
+    spark.createDataFrame([("r1", "a", 5)],
+                          "repo string, path string, score int") \
+         .createOrReplaceTempView("one")
+    q(spark, cat, "INSERT INTO db.c SELECT * FROM one")
+    q(spark, cat, "ALTER TABLE db.c ADD CONSTRAINT pos CHECK (score >= 0)")
+    with pytest.raises(quality.ExpectationError):
+        q(spark, cat, "UPDATE db.c SET score = -1 WHERE repo = 'r1'",
+          mode="cow")
+    q(spark, cat, "ALTER TABLE db.c DROP CONSTRAINT pos")
+    q(spark, cat, "UPDATE db.c SET score = -1 WHERE repo = 'r1'",
+      mode="cow")
+    assert q(spark, cat, "SELECT score FROM db.c").collect()[0].score == -1
