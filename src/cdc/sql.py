@@ -168,6 +168,40 @@ def execute(spark: SparkSession, catalog: Catalog, stmt: str,
         expired = expire_snapshots(t, keep_last=int(m.group(2) or 3))
         return {"expired": expired, "removed": vacuum_orphans(t)}
 
+    m = re.match(rf"SHOW{_WS}TABLES(?:{_WS}IN{_WS}({_ID}))?$", s, re.I)
+    if m:
+        rows = [(n.split(".", 1)[0], n.split(".", 1)[1])
+                for n in catalog.tables(db=m.group(1))]
+        return spark.createDataFrame(rows or [("", "")],
+                                     "database string, table string"
+                                     ).filter("table <> ''")
+
+    m = re.match(rf"DESCRIBE{_WS}(?:(HISTORY|DETAIL|TABLE){_WS})?({_TBL})$",
+                 s, re.I)
+    if m:
+        kind = (m.group(1) or "TABLE").upper()
+        t = catalog.get(m.group(2))
+        if kind == "HISTORY":
+            return t.commits_df(spark)
+        if kind == "DETAIL":
+            snap = t.current_snapshot() or {}
+            import json as _json
+
+            row = (t.root, _json.dumps(t.table_config()),
+                   _json.dumps(snap.get("properties") or {}),
+                   snap.get("snapshot_id", 0), snap.get("lsn_high", -1),
+                   len(snap.get("files", ())))
+            return spark.createDataFrame(
+                [row], "location string, table_config string, "
+                       "properties string, snapshot_id long, lsn_high long, "
+                       "n_files int")
+        snap = t.current_snapshot()
+        if snap is None:
+            raise ValueError(f"{m.group(2)} has no commits yet")
+        fields = [(n.strip().split(" ", 1)[0], n.strip().split(" ", 1)[1])
+                  for n in _split_top(snap["schema_ddl"])]
+        return spark.createDataFrame(fields, "col_name string, data_type string")
+
     if re.match(r"SELECT\b", s, re.I):
         return _select(spark, catalog, s)
 

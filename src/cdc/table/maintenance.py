@@ -62,6 +62,14 @@ def compact(spark: SparkSession, table: CdcTable,
         raise ValueError("cannot compact an empty table")
     if parts is not None and max_files_per_partition is not None:
         raise ValueError("pass parts or max_files_per_partition, not both")
+    if cluster_by is None:
+        # OPTIMIZE without arguments reuses the table's recorded sort
+        # order (persisted as a property by the last clustering compact)
+        import json as _json
+        so = (parent.get("properties") or {}).get("sort_order")
+        if so:
+            rec = _json.loads(so)
+            cluster_by, zorder = rec["cluster_by"], rec.get("zorder", False)
     if max_files_per_partition is not None:
         by_part: dict[int, int] = {}
         delta_parts: set[int] = set()
@@ -119,6 +127,12 @@ def compact(spark: SparkSession, table: CdcTable,
         operation="compact",
         committed_ts=datetime.now(timezone.utc).isoformat(),
         snapshot_id=sid)
+    if cluster_by:
+        import json as _json
+        props = dict(snap.get("properties") or {})
+        props["sort_order"] = _json.dumps(
+            {"cluster_by": list(cluster_by), "zorder": bool(zorder)})
+        snap["properties"] = props
     snap["table_config"] = table.table_config()
     # CAS on the parent read at the top: a writer that committed meanwhile
     # must not be clobbered by the compaction (same snapshot-id collision

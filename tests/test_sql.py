@@ -122,3 +122,21 @@ def test_sql_constraints(spark, cat):
     q(spark, cat, "UPDATE db.c SET score = -1 WHERE repo = 'r1'",
       mode="cow")
     assert q(spark, cat, "SELECT score FROM db.c").collect()[0].score == -1
+
+
+def test_sql_show_and_describe(spark, cat):
+    q(spark, cat, "CREATE TABLE db.d KEY (repo, path) PARTITIONS 2")
+    spark.createDataFrame([("r1", "a", 1)],
+                          "repo string, path string, v int") \
+         .createOrReplaceTempView("seed1")
+    q(spark, cat, "INSERT INTO db.d SELECT * FROM seed1")
+    assert [(r.database, r.table) for r in
+            q(spark, cat, "SHOW TABLES").collect()] == [("db", "d")]
+    cols = {r.col_name: r.data_type for r in
+            q(spark, cat, "DESCRIBE db.d").collect()}
+    assert cols["repo"] == "string" and cols["v"] == "int"
+    assert "_lsn" in cols
+    hist = q(spark, cat, "DESCRIBE HISTORY db.d").collect()
+    assert len(hist) == 1 and hist[0].operation == "merge"
+    det = q(spark, cat, "DESCRIBE DETAIL db.d").collect()[0]
+    assert det.snapshot_id == 1 and det.n_files > 0

@@ -197,3 +197,26 @@ def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
     with pytest.raises(ValueError, match=">= 2"):
         from cdc.table.table import zvalue_expr
         zvalue_expr(full, ["x"])
+
+
+def test_sort_order_persists_and_bare_compact_reuses_it(spark, tmp_path):
+    """A clustering compaction records the sort order as a table property;
+    a later bare compact() re-clusters the same way (OPTIMIZE semantics),
+    so ingest churn doesn't silently decay the layout."""
+    t = CdcTable(str(tmp_path / "t"), n_partitions=2, layout="key_hash")
+    rows = [(f"r{i}", f"p{i}", i + 1, f"v{i}", float(i % 16), "U")
+            for i in range(128)]
+    apply_batch(spark, t, ev(spark, rows), "b0",
+                normalize=False, metrics=False)
+    compact(spark, t, files_per_partition=4, cluster_by=["score"])
+    import json
+    so = json.loads(t.current_snapshot()["properties"]["sort_order"])
+    assert so == {"cluster_by": ["score"], "zorder": False}
+
+    # churn, then a BARE compact: clustering must come back
+    apply_batch(spark, t, ev(spark, [("r1", "p1", 999, "x", 3.0, "U")]),
+                "b1", normalize=False, metrics=False)
+    snap = compact(spark, t, files_per_partition=4)
+    assert all("score" in f.get("stats", {}) for f in snap["files"])
+    pruned = t.read(spark, prune={"score": (0.0, 1.9)})
+    assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
