@@ -91,6 +91,27 @@ class Catalog:
         with open(path) as f:
             return json.load(f)["root"]
 
+    def create_view(self, name: str, sql: str,
+                    replace: bool = False) -> None:
+        """Register a named SQL view (resolved lazily by cdc.sql.execute,
+        recursively — views may reference tables and other views)."""
+        path = self._entry_path(name)
+        if os.path.exists(path) and not replace:
+            raise ValueError(f"{name!r} already exists")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"view_sql": sql}, f)
+        os.replace(tmp, path)
+
+    def view_sql(self, name: str) -> str | None:
+        """The view definition, or None if ``name`` is not a view."""
+        path = self._entry_path(name)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f).get("view_sql")
+
     def drop(self, name: str) -> bool:
         """Unregister the NAME; data dirs are not touched."""
         path = self._entry_path(name)

@@ -74,9 +74,16 @@ def execute(spark: SparkSession, catalog: Catalog, stmt: str,
                        layout=(layout or "key_hash").lower(), **kw)
         return None
 
-    m = re.match(rf"DROP{_WS}TABLE{_WS}({_TBL})$", s, re.I)
+    m = re.match(rf"DROP{_WS}(?:TABLE|VIEW){_WS}({_TBL})$", s, re.I)
     if m:
         catalog.drop(m.group(1))
+        return None
+
+    m = re.match(rf"CREATE(?:{_WS}OR{_WS}REPLACE)?{_WS}VIEW{_WS}({_TBL})"
+                 rf"{_WS}AS{_WS}(SELECT\b.*)$", s, re.I | re.S)
+    if m:
+        catalog.create_view(m.group(1), m.group(2),
+                            replace="REPLACE" in s[:40].upper())
         return None
 
     m = re.match(rf"INSERT{_WS}INTO{_WS}({_TBL}){_WS}(SELECT\b.*)$", s,
@@ -208,19 +215,30 @@ def execute(spark: SparkSession, catalog: Catalog, stmt: str,
     raise ValueError(f"unsupported statement: {stmt!r}")
 
 
-def _select(spark: SparkSession, catalog: Catalog, s: str) -> DataFrame:
+def _select(spark: SparkSession, catalog: Catalog, s: str,
+            depth: int = 0) -> DataFrame:
     """Bind catalog table references (with optional time travel) to temp
     views, then delegate to spark.sql. References are matched after FROM
-    and JOIN keywords only — plain identifiers elsewhere are untouched."""
+    and JOIN keywords only — plain identifiers elsewhere are untouched.
+    Named views resolve recursively (cycle-bounded)."""
+    if depth > 10:
+        raise ValueError("view nesting exceeds 10 levels (cycle?)")
     bound = {}
 
     def bind(name: str, version: str | None, ts: str | None) -> str:
         view = re.sub(r"\W", "_", f"cdc_{name}_{version or ''}_{ts or ''}")
         if view not in bound:
-            t = catalog.get(name)
-            df = t.read(spark,
-                        snapshot_id=int(version) if version else None,
-                        as_of=ts.strip("'\"") if ts else None)
+            vsql = catalog.view_sql(name)
+            if vsql is not None:
+                if version or ts:
+                    raise ValueError(f"time travel on a VIEW ({name}) — "
+                                     f"travel the base tables instead")
+                df = _select(spark, catalog, vsql, depth + 1)
+            else:
+                t = catalog.get(name)
+                df = t.read(spark,
+                            snapshot_id=int(version) if version else None,
+                            as_of=ts.strip("'\"") if ts else None)
             df.createOrReplaceTempView(view)
             bound[view] = True
         return view
@@ -233,7 +251,8 @@ def _select(spark: SparkSession, catalog: Catalog, s: str) -> DataFrame:
     def repl(m: re.Match) -> str:
         name = m.group(2)
         try:
-            catalog.root_of(name)
+            if catalog.view_sql(name) is None:
+                catalog.root_of(name)
         except (KeyError, ValueError):
             return m.group(0)          # not ours: subquery alias, etc.
         return f"{m.group(1)} {bind(name, m.group(3), m.group(4))}"

@@ -140,3 +140,34 @@ def test_sql_show_and_describe(spark, cat):
     assert len(hist) == 1 and hist[0].operation == "merge"
     det = q(spark, cat, "DESCRIBE DETAIL db.d").collect()[0]
     assert det.snapshot_id == 1 and det.n_files > 0
+
+
+def test_sql_views_resolve_recursively(spark, cat):
+    q(spark, cat, "CREATE TABLE db.base KEY (repo, path) PARTITIONS 2")
+    spark.createDataFrame(
+        [("r1", "a", 5), ("r2", "b", -2), ("r3", "c", 9)],
+        "repo string, path string, v int").createOrReplaceTempView("seedv")
+    q(spark, cat, "INSERT INTO db.base SELECT * FROM seedv")
+    q(spark, cat, "CREATE VIEW db.pos AS SELECT repo, v FROM db.base "
+                  "WHERE v > 0")
+    q(spark, cat, "CREATE VIEW db.big AS SELECT repo FROM db.pos "
+                  "WHERE v > 6")
+    assert [r.repo for r in
+            q(spark, cat, "SELECT repo FROM db.big").collect()] == ["r3"]
+    # views are live: new data flows through on the next query
+    spark.createDataFrame([("r4", "d", 7)],
+                          "repo string, path string, v int") \
+         .createOrReplaceTempView("seedv2")
+    q(spark, cat, "INSERT INTO db.base SELECT * FROM seedv2")
+    assert sorted(r.repo for r in
+                  q(spark, cat, "SELECT repo FROM db.big").collect()) == \
+        ["r3", "r4"]
+    # OR REPLACE; time travel on a view refuses; DROP VIEW works
+    q(spark, cat, "CREATE OR REPLACE VIEW db.big AS "
+                  "SELECT repo FROM db.pos WHERE v > 100")
+    assert q(spark, cat, "SELECT repo FROM db.big").count() == 0
+    with pytest.raises(ValueError, match="VIEW"):
+        q(spark, cat, "SELECT repo FROM db.big VERSION AS OF 1")
+    q(spark, cat, "DROP VIEW db.big")
+    with pytest.raises(Exception):
+        q(spark, cat, "SELECT repo FROM db.big").collect()
