@@ -513,3 +513,57 @@ def sql_facade_dml(spark, sf_dir):
     execute(spark, cat, "ALTER TABLE db.src RENAME COLUMN content TO body")
     return execute(spark, cat,
                    "SELECT repo, path, body, val FROM db.src")
+
+
+@q("idx_secondary_lookup", """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS content,
+         substr(md5(event_type || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)), 1, 1) AS cat
+  FROM events
+),
+state AS (
+  SELECT repo, path, content, cat FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY lsn DESC) AS rn
+    FROM ev) WHERE rn = 1 AND op <> 'D'
+)
+SELECT repo, path, content, cat FROM state WHERE cat = 'a'
+""")
+def idx_secondary_lookup(spark, sf_dir):
+    """Secondary index (cdc/index.py): ingest in two batches with an
+    incremental index refresh between them — so the netted
+    tombstone/upsert delta path runs, not just the initial load — then
+    answer a VALUE lookup through the index (one index partition probed,
+    keys fed to base.lookup_keys; never a base scan). The oracle
+    recomputes LWW state and filters on the same md5-derived category;
+    the index must return exactly those rows."""
+    from cdc import index
+    from cdc.pipeline import apply_batch
+    from cdc.table.table import CdcTable
+
+    rendered = F.col("value").cast("decimal(18,2)").cast("string")
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.col("event_type").alias("path"),
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        rendered.alias("content"),
+        F.substring(F.md5(F.concat(F.col("event_type"), rendered)), 1, 1)
+         .alias("cat"),
+        F.lit(0).alias("batch_id"))
+
+    work = _scratch("cdc_idx_q")
+    t = CdcTable(f"{work}/t", n_partitions=8, layout="key_hash")
+    idx = index.create_index(f"{work}/idx", t, "cat", n_partitions=8)
+    apply_batch(spark, t, ev.filter(F.col("lsn") <= 5000), "b0",
+                normalize=False, metrics=False)
+    index.refresh(spark, t, idx)            # initial load
+    apply_batch(spark, t, ev.filter(F.col("lsn") > 5000), "b1",
+                normalize=False, metrics=False)
+    index.refresh(spark, t, idx)            # incremental net delta
+    return (index.lookup_value(spark, t, idx, "a")
+            .select("repo", "path", "content", "cat"))
