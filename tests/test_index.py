@@ -91,3 +91,31 @@ def test_index_lookup_prunes_to_one_partition(spark, tmp_path):
     assert all(f"part={part}" in f for f in scanned)
     assert keys_for(spark, base, idx, "lang3") == \
         sorted((f"r{i}", f"p{i}") for i in range(3, 56, 7))
+
+
+def test_index_maintainer_streams_in_lockstep(spark, tmp_path):
+    """index.maintainer in stream_to_table(downstream=[…]): the index
+    advances with every ingest epoch and ends consistent with a
+    from-scratch recompute over the base state."""
+    from cdc.stream.pipeline import stream_to_table
+    from cdc.testing.gen import gen_change_events, write_change_log
+
+    log = str(tmp_path / "log")
+    evs = gen_change_events(spark, n_keys=300, mean_events_per_key=4, seed=9)
+    write_change_log(evs, log, events_per_file=100)
+
+    base = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    idx = index.create_index(str(tmp_path / "idx"), base, "lang",
+                             n_partitions=4)
+    stream_to_table(spark, log, base, metrics=False,
+                    max_files_per_trigger=1,
+                    downstream=[index.maintainer(idx)])
+    assert len(base.snapshots()) > 1, "expected multiple epochs"
+    assert index.synced_snapshot_id(idx) == \
+        base.current_snapshot()["snapshot_id"]
+    want = {(r.lang, r.repo, r.path) for r in
+            base.read(spark).filter("lang IS NOT NULL")
+            .select("lang", "repo", "path").collect()}
+    got = {(r.lang, r.repo, r.path) for r in
+           idx.read(spark).select("lang", "repo", "path").collect()}
+    assert got == want
