@@ -96,8 +96,13 @@ class Catalog:
         """Register a named SQL view (resolved lazily by cdc.sql.execute,
         recursively — views may reference tables and other views)."""
         path = self._entry_path(name)
-        if os.path.exists(path) and not replace:
-            raise ValueError(f"{name!r} already exists")
+        if os.path.exists(path):
+            if not replace:
+                raise ValueError(f"{name!r} already exists")
+            with open(path) as f:
+                if "root" in json.load(f):
+                    raise ValueError(f"{name!r} is a TABLE — OR REPLACE "
+                                     f"only replaces views")
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:

@@ -44,13 +44,18 @@ def _key(stmt: str) -> str:
 
 
 def _split_top(s: str) -> list[str]:
-    """Split on top-level commas (SET lists carry exprs with calls)."""
-    out, depth, buf = [], 0, []
+    """Split on top-level commas (SET lists carry exprs with calls and
+    quoted string literals — commas inside parens or '…' don't split)."""
+    out, depth, buf, quoted = [], 0, [], False
     for ch in s + ",":
-        if ch == "," and depth == 0:
+        if quoted:
+            buf.append(ch)
+            quoted = ch != "'"
+        elif ch == "," and depth == 0:
             out.append("".join(buf).strip())
             buf = []
         else:
+            quoted = ch == "'"
             depth += ch in "(["
             depth -= ch in ")]"
             buf.append(ch)

@@ -173,6 +173,10 @@ def rollback(table: CdcTable, to_snapshot_id: int) -> dict:
         # the schema travels with the rollback — including the id mapping,
         # so rolling back across a rename/drop restores the old resolution
         snap["column_ids"] = target["column_ids"]
+    # properties (CHECK constraints, sort order) travel too: rolling back
+    # across a SET/UNSET restores the target's gate exactly — explicit {}
+    # when the target had none, so the current props don't leak through
+    snap["properties"] = dict(target.get("properties") or {})
     # the restored files are clustered under the TARGET's partition spec —
     # rolling back across a repartition must restore that spec too, or
     # pruning/lookups against the restored files silently break. Re-open

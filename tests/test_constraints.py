@@ -82,3 +82,24 @@ def test_checks_gate_sql_update_and_insert(spark, tmp_path):
     update_where(spark, t, "repo = 'r1'", {"score": "score + 100"},
                  "u2", mode="cow")
     assert {r.score for r in t.read(spark).collect()} == {110}
+
+
+def test_rollback_restores_properties(spark, tmp_path):
+    """Rolling back across SET/UNSET restores the target's constraint
+    state exactly — properties travel with the schema."""
+    from cdc.table.maintenance import rollback
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=2, layout="key_hash")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", 10, "U")]), "b0",
+                normalize=False, metrics=False)                 # snap 1
+    alter.set_check(t, "pos", "score >= 0")                     # snap 2
+    # rollback to the unconstrained snapshot: the gate lifts
+    rollback(t, 1)
+    apply_batch(spark, t, ev(spark, [("r2", "b", 5, "w", -1, "U")]), "b1",
+                normalize=False, metrics=False)
+    assert ("r2", -1) in {(r.repo, r.score) for r in t.read(spark).collect()}
+    # rollback INTO the constrained snapshot: the gate is back
+    rollback(t, 2)
+    with pytest.raises(quality.ExpectationError):
+        apply_batch(spark, t, ev(spark, [("r3", "c", 9, "x", -2, "U")]),
+                    "b2", normalize=False, metrics=False)

@@ -171,3 +171,21 @@ def test_sql_views_resolve_recursively(spark, cat):
     q(spark, cat, "DROP VIEW db.big")
     with pytest.raises(Exception):
         q(spark, cat, "SELECT repo FROM db.big").collect()
+
+
+def test_sql_edge_cases(spark, cat):
+    from cdc import quality  # noqa: F401
+
+    q(spark, cat, "CREATE TABLE db.e KEY (repo, path) PARTITIONS 2")
+    spark.createDataFrame([("r1", "a", "x", 1)],
+                          "repo string, path string, s string, v int") \
+         .createOrReplaceTempView("seede")
+    q(spark, cat, "INSERT INTO db.e SELECT * FROM seede")
+    # quoted comma inside a SET expression must not split the SET list
+    q(spark, cat, "UPDATE db.e SET s = concat(s, ',tail'), v = v + 1 "
+                  "WHERE repo = 'r1'", mode="cow")
+    row = q(spark, cat, "SELECT s, v FROM db.e").collect()[0]
+    assert (row.s, row.v) == ("x,tail", 2)
+    # CREATE OR REPLACE VIEW cannot clobber a TABLE entry
+    with pytest.raises(ValueError, match="TABLE"):
+        q(spark, cat, "CREATE OR REPLACE VIEW db.e AS SELECT 1 AS x")
