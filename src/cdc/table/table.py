@@ -88,6 +88,15 @@ def zvalue_expr(df: DataFrame, cols: Sequence[str]):
     pre-map the column through its quantile rank and z-order the rank."""
     if len(cols) < 2:
         raise ValueError("z-order needs >= 2 columns (one column is a sort)")
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, (T.NumericType, T.TimestampType, T.DateType,
+                               T.BooleanType)):
+            raise ValueError(
+                f"z-order column {c!r} is {dt.simpleString()} — only "
+                f"numeric/timestamp/date columns interleave; map strings "
+                f"through a hash or rank first, or use lexicographic "
+                f"cluster_by")
     bits = min(_ZBITS, 63 // len(cols))
     n = 1 << bits
     bounds = df.agg(*[f for c in cols
