@@ -567,3 +567,81 @@ def idx_secondary_lookup(spark, sf_dir):
     index.refresh(spark, t, idx)            # incremental net delta
     return (index.lookup_value(spark, t, idx, "a")
             .select("repo", "path", "content", "cat"))
+
+
+@q("txn_sql_atomic", """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,
+         event_id AS lsn,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS content,
+         value AS val
+  FROM events
+),
+state AS (
+  SELECT repo, path, content, val FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY lsn DESC) AS rn
+    FROM ev) WHERE rn = 1
+),
+upd AS (
+  SELECT repo, path,
+         CASE WHEN val > 300 THEN content || '+hot' ELSE content END
+           AS content,
+         CASE WHEN val > 300 THEN val * 2 ELSE val END AS val
+  FROM state
+)
+SELECT repo, path, content, val FROM upd WHERE path <> 'error'
+""")
+def txn_sql_atomic(spark, sf_dir):
+    """Cross-statement ATOMIC transactions (cdc/sql.py::transaction over
+    WAP branches + publish_all): first a txn that must ABORT — its second
+    statement violates a CHECK constraint, so the first statement's
+    staged work is abandoned too — then the good txn (the
+    dml_update_delete algebra as ONE atomic unit). The oracle recomputes
+    plain LWW + UPDATE/DELETE algebra: the aborted txn must leave no
+    trace, and the committed one must land exactly."""
+    from cdc.catalog import Catalog
+    from cdc.pipeline import apply_batch
+    from cdc.sql import transaction
+    from cdc.table import alter
+    from cdc.table.table import CdcTable
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.col("event_type").alias("path"),
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.lit("U").alias("op"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("content"),
+        F.col("value").alias("val"),
+        F.lit(0).alias("batch_id"))
+
+    work = _scratch("cdc_txn_q")
+    cat = Catalog(f"{work}/catalog")
+    t = cat.create("db.t", n_partitions=8)
+    apply_batch(spark, t, ev, "b0", normalize=False, metrics=False)
+    alter.set_check(t, "val_not_negative", "val >= 0")
+
+    from cdc import quality
+
+    aborted = False
+    try:  # must abort whenever any val > 300 row exists (all tested sf)
+        transaction(spark, cat, [
+            "DELETE FROM db.t WHERE path = 'error'",
+            "UPDATE db.t SET val = -val WHERE val > 300",
+        ])
+    except quality.ExpectationError:
+        aborted = True
+    # violation fires iff some LIVE WINNER row (error-path rows are
+    # tombstoned by statement 1 of the same txn) has val > 300
+    from cdc.dedup import last_writer_wins
+    winners = last_writer_wins(ev.filter(F.col("path") != "error"),
+                               via="maxby")
+    has_hot = not winners.filter(F.col("val") > 300).isEmpty()
+    assert aborted == has_hot, "abort must fire iff a winner violates"
+    transaction(spark, cat, [
+        "UPDATE db.t SET content = concat(content, '+hot'), val = val * 2 "
+        "WHERE val > 300",
+        "DELETE FROM db.t WHERE path = 'error'",
+    ])
+    return cat.get("db.t").read(spark).select("repo", "path", "content", "val")

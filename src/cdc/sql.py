@@ -263,3 +263,108 @@ def _select(spark: SparkSession, catalog: Catalog, s: str,
         return f"{m.group(1)} {bind(name, m.group(3), m.group(4))}"
 
     return spark.sql(pat.sub(repl, s))
+
+
+def transaction(spark: SparkSession, catalog: Catalog,
+                stmts: list[str]) -> list[dict]:
+    """Cross-table ATOMIC transaction: run INSERT / UPDATE / DELETE
+    statements staged on a per-table branch ref, then publish every
+    touched table in ONE all-or-nothing pointer-swap transaction
+    (``wap.publish_all`` — CAS-validated before any pointer moves,
+    crash-recovered by roll-forward). Any statement failure — including
+    a CHECK-constraint violation — abandons every staged branch: no
+    table shows any of the transaction's effects.
+
+    Isolation: statements see the transaction's OWN staged state (same-
+    table statements chain), never other writers'; a concurrent main-line
+    commit on any touched table fails the publish CAS and the whole
+    transaction aborts (optimistic snapshot isolation). Only mutating
+    statements are allowed inside — run SELECTs before or after.
+
+    Returns the published snapshots (one per touched table, in first-
+    touch order)."""
+    import uuid as _uuid
+
+    from cdc import quality
+    from cdc.dedup import last_writer_wins
+    from cdc.table import wap
+
+    ref = f"txn{_uuid.uuid4().hex[:10]}"
+    touched: dict[str, "object"] = {}
+
+    def table_for(name: str):
+        if name not in touched:
+            touched[name] = catalog.get(name)
+        return touched[name]
+
+    def base_of(t):
+        return wap.staged(t, ref) or t.current_snapshot()
+
+    def enforce_checks(t, batch):
+        snap = base_of(t)
+        props = (snap or {}).get("properties") or {}
+        checks = {k[len("check."):]: F.expr(v) for k, v in props.items()
+                  if k.startswith("check.")}
+        if checks:
+            live = (batch.filter(F.col("op") != "D")
+                    if "op" in batch.columns else batch)
+            quality.enforce(live, checks)
+
+    try:
+        for i, stmt in enumerate(stmts):
+            s = stmt.strip().rstrip(";").strip()
+            m = re.match(rf"INSERT{_WS}INTO{_WS}({_TBL}){_WS}(SELECT\b.*)$",
+                         s, re.I | re.S)
+            if m:
+                from datetime import datetime, timezone
+
+                t = table_for(m.group(1))
+                base = base_of(t)
+                rows = execute(spark, catalog, m.group(2))
+                lsn = (base["lsn_high"] if base else -1) + 1
+                ts = datetime.now(timezone.utc).isoformat()
+                batch = (rows
+                         .withColumn("lsn", F.lit(lsn).cast("long"))
+                         .withColumn("ts", F.to_timestamp(F.lit(ts)))
+                         .withColumn("op", F.lit("U"))
+                         .withColumn("batch_id", F.lit(0).cast("long")))
+                batch = last_writer_wins(batch, keys=t.key_cols, via="maxby")
+                enforce_checks(t, batch)
+                wap.stage(spark, t, batch, f"{ref}-s{i}", ref=ref)
+                continue
+            m = re.match(rf"DELETE{_WS}FROM{_WS}({_TBL}){_WS}WHERE{_WS}(.+)$",
+                         s, re.I | re.S)
+            if m:
+                from cdc.table.mutate import _matched_events
+
+                t = table_for(m.group(1))
+                ev = _matched_events(spark, t, m.group(2), "D",
+                                     base=base_of(t))
+                wap.stage(spark, t, ev, f"{ref}-s{i}", ref=ref)
+                continue
+            m = re.match(rf"UPDATE{_WS}({_TBL}){_WS}SET{_WS}(.+?)"
+                         rf"{_WS}WHERE{_WS}(.+)$", s, re.I | re.S)
+            if m:
+                from cdc.table.mutate import _matched_events
+
+                t = table_for(m.group(1))
+                sets = {}
+                for part in _split_top(m.group(2)):
+                    col, _, expr = part.partition("=")
+                    sets[col.strip()] = expr.strip()
+                ev = _matched_events(spark, t, m.group(3), "U", set=sets,
+                                     base=base_of(t))
+                enforce_checks(t, ev)
+                wap.stage(spark, t, ev, f"{ref}-s{i}", ref=ref)
+                continue
+            raise ValueError(
+                f"only INSERT/UPDATE/DELETE are allowed inside a "
+                f"transaction, got: {stmt!r}")
+        return wap.publish_all([(t, ref) for t in touched.values()])
+    except BaseException:
+        for t in touched.values():
+            try:
+                wap.abandon(t, ref)
+            except Exception:
+                pass
+        raise

@@ -32,9 +32,13 @@ from cdc.table.table import PART_COL, CdcTable
 
 
 def _matched_events(spark: SparkSession, table: CdcTable, where: str,
-                    op: str, set: Mapping[str, str] | None = None
-                    ) -> DataFrame:
-    state = table.read(spark)
+                    op: str, set: Mapping[str, str] | None = None,
+                    base: dict | None = None) -> DataFrame:
+    """``base`` — snapshot dict to evaluate the statement against instead
+    of the current one (transaction staging: statements inside a txn see
+    the txn's own staged state, cdc.sql.transaction)."""
+    state = table.read(spark, snapshot_id=(base["snapshot_id"]
+                                           if base is not None else None))
     if state is None:
         raise ValueError("cannot mutate an empty table")
     data_cols = [c for c in state.columns
@@ -53,8 +57,9 @@ def _matched_events(spark: SparkSession, table: CdcTable, where: str,
              else F.col(c)).alias(c)
             for c in data_cols])
     ts = datetime.now(timezone.utc).isoformat()
+    lsn_high = (base["lsn_high"] if base is not None else table.lsn_high())
     return (matched
-            .withColumn("lsn", F.lit(table.lsn_high() + 1))
+            .withColumn("lsn", F.lit(lsn_high + 1))
             .withColumn("ts", F.to_timestamp(F.lit(ts)))
             .withColumn("op", F.lit(op))
             .withColumn("batch_id", F.lit(0).cast("long")))

@@ -189,3 +189,54 @@ def test_sql_edge_cases(spark, cat):
     # CREATE OR REPLACE VIEW cannot clobber a TABLE entry
     with pytest.raises(ValueError, match="TABLE"):
         q(spark, cat, "CREATE OR REPLACE VIEW db.e AS SELECT 1 AS x")
+
+
+def test_sql_transaction_atomic_across_tables(spark, cat):
+    from cdc import quality
+    from cdc.sql import transaction
+    from cdc.table import wap
+
+    q(spark, cat, "CREATE TABLE db.ta KEY (repo, path) PARTITIONS 2")
+    q(spark, cat, "CREATE TABLE db.tb KEY (repo, path) PARTITIONS 2")
+    spark.createDataFrame([("r1", "a", 1)],
+                          "repo string, path string, v int") \
+         .createOrReplaceTempView("tx_seed")
+    q(spark, cat, "INSERT INTO db.ta SELECT * FROM tx_seed")
+    q(spark, cat, "INSERT INTO db.tb SELECT * FROM tx_seed")
+
+    # commit path: same-table chaining (INSERT then UPDATE the new key)
+    # plus a second table — published together
+    spark.createDataFrame([("r2", "b", 10)],
+                          "repo string, path string, v int") \
+         .createOrReplaceTempView("tx_new")
+    transaction(spark, cat, [
+        "INSERT INTO db.ta SELECT * FROM tx_new",
+        "UPDATE db.ta SET v = v + 5 WHERE repo = 'r2'",
+        "DELETE FROM db.tb WHERE repo = 'r1'",
+    ])
+    a = {(r.repo, r.v) for r in q(spark, cat,
+                                  "SELECT repo, v FROM db.ta").collect()}
+    assert a == {("r1", 1), ("r2", 15)}
+    assert q(spark, cat, "SELECT repo FROM db.tb").count() == 0
+
+    # abort path: a CHECK violation in the LAST statement rolls back
+    # EVERY table's staged work — nothing published, refs abandoned
+    q(spark, cat, "ALTER TABLE db.ta ADD CONSTRAINT pos CHECK (v >= 0)")
+    before_a = a
+    with pytest.raises(quality.ExpectationError):
+        transaction(spark, cat, [
+            "INSERT INTO db.tb SELECT * FROM tx_new",   # would succeed
+            "UPDATE db.ta SET v = -9 WHERE repo = 'r1'",  # violates
+        ])
+    assert {(r.repo, r.v) for r in
+            q(spark, cat, "SELECT repo, v FROM db.ta").collect()} == before_a
+    assert q(spark, cat, "SELECT repo FROM db.tb").count() == 0
+    # no dangling refs
+    for name in ("db.ta", "db.tb"):
+        t = cat.get(name)
+        assert [r for r in t.refs_df(spark).collect()
+                if r.kind == "branch"] == []
+
+    # only mutating statements allowed inside
+    with pytest.raises(ValueError, match="transaction"):
+        transaction(spark, cat, ["SELECT repo FROM db.ta"])
