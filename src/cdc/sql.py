@@ -214,6 +214,13 @@ def execute(spark: SparkSession, catalog: Catalog, stmt: str,
                   for n in _split_top(snap["schema_ddl"])]
         return spark.createDataFrame(fields, "col_name string, data_type string")
 
+    m = re.match(rf"EXPLAIN(?:{_WS}(EXTENDED|FORMATTED))?{_WS}(SELECT\b.*)$",
+                 s, re.I | re.S)
+    if m:
+        mode = (m.group(1) or "FORMATTED").upper()
+        return spark.sql(f"EXPLAIN {mode} "
+                         f"{_bind_refs(spark, catalog, m.group(2))}")
+
     if re.match(r"SELECT\b", s, re.I):
         return _select(spark, catalog, s)
 
@@ -222,10 +229,16 @@ def execute(spark: SparkSession, catalog: Catalog, stmt: str,
 
 def _select(spark: SparkSession, catalog: Catalog, s: str,
             depth: int = 0) -> DataFrame:
-    """Bind catalog table references (with optional time travel) to temp
-    views, then delegate to spark.sql. References are matched after FROM
-    and JOIN keywords only — plain identifiers elsewhere are untouched.
-    Named views resolve recursively (cycle-bounded)."""
+    """Bind catalog table references to temp views, then spark.sql."""
+    return spark.sql(_bind_refs(spark, catalog, s, depth))
+
+
+def _bind_refs(spark: SparkSession, catalog: Catalog, s: str,
+               depth: int = 0) -> str:
+    """Rewrite catalog table references (with optional time travel) to
+    bound temp views and return the rewritten SQL. References are matched
+    after FROM and JOIN keywords only — plain identifiers elsewhere are
+    untouched. Named views resolve recursively (cycle-bounded)."""
     if depth > 10:
         raise ValueError("view nesting exceeds 10 levels (cycle?)")
     bound = {}
@@ -262,7 +275,7 @@ def _select(spark: SparkSession, catalog: Catalog, s: str,
             return m.group(0)          # not ours: subquery alias, etc.
         return f"{m.group(1)} {bind(name, m.group(3), m.group(4))}"
 
-    return spark.sql(pat.sub(repl, s))
+    return pat.sub(repl, s)
 
 
 def transaction(spark: SparkSession, catalog: Catalog,

@@ -240,3 +240,15 @@ def test_sql_transaction_atomic_across_tables(spark, cat):
     # only mutating statements allowed inside
     with pytest.raises(ValueError, match="transaction"):
         transaction(spark, cat, ["SELECT repo FROM db.ta"])
+
+
+def test_sql_explain(spark, cat):
+    q(spark, cat, "CREATE TABLE db.x KEY (repo, path) PARTITIONS 2")
+    spark.createDataFrame([("r1", "a", 1)],
+                          "repo string, path string, v int") \
+         .createOrReplaceTempView("seedx")
+    q(spark, cat, "INSERT INTO db.x SELECT * FROM seedx")
+    plan = "\n".join(r[0] for r in
+                     q(spark, cat, "EXPLAIN SELECT repo FROM db.x "
+                                   "WHERE v > 0").collect())
+    assert "Physical Plan" in plan and "Scan" in plan
