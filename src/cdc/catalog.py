@@ -73,6 +73,9 @@ class Catalog:
             raise KeyError(f"no table {name!r}")
         with open(path) as f:
             entry = json.load(f)
+        if "root" not in entry:
+            raise ValueError(f"{name!r} is a VIEW, not a table — query it "
+                             f"through cdc.sql, or drop and recreate")
         root = entry["root"]
         try:
             return CdcTable.open(root, **overrides)

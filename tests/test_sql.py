@@ -252,3 +252,11 @@ def test_sql_explain(spark, cat):
                      q(spark, cat, "EXPLAIN SELECT repo FROM db.x "
                                    "WHERE v > 0").collect())
     assert "Physical Plan" in plan and "Scan" in plan
+
+
+def test_catalog_get_on_view_is_a_clear_error(spark, cat):
+    q(spark, cat, "CREATE VIEW db.v AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="VIEW"):
+        cat.get("db.v")
+    with pytest.raises(ValueError, match="VIEW"):
+        q(spark, cat, "DESCRIBE db.v")
