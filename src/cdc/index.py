@@ -115,6 +115,12 @@ def lookup_value(spark: SparkSession, base: CdcTable, idx: CdcTable,
     probe = spark.range(1).select(F.lit(value).alias(column))
     part = probe.select(idx.part_of().alias("p")).first()["p"]
     rows = idx.read(spark, parts=[part])
+    if rows is None:
+        # an index table with no commits yet reads as None; surface the
+        # operational fix instead of an AttributeError on rows.filter
+        raise ValueError(
+            f"index at {idx.root} has no commits yet — run "
+            f"index.refresh(spark, base, idx) before point lookups")
     hits = rows.filter(F.col(column) == F.lit(value)) \
                .select(*base.key_cols)
     out = base.lookup_keys(spark, hits)

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cdc.meta.store import ddl_names
+
 
 def envelope_schema(row_ddl: str) -> str:
     """The envelope's from_json schema for a given row-image DDL."""
@@ -39,7 +41,9 @@ def from_debezium(df: DataFrame, row_ddl: str,
     p = F.from_json(F.col(value_col), envelope_schema(row_ddl)).getField("payload")
     is_del = p.getField("op") == "d"
     image: Column = F.when(is_del, p.getField("before")).otherwise(p.getField("after"))
-    row_fields = [f.split(None, 1)[0].strip() for f in row_ddl.split(",")]
+    # depth-aware split: parameterized types (decimal(18,2), struct<...>)
+    # carry commas a naive str.split would break on
+    row_fields = ddl_names(row_ddl)
     op = (F.when(p.getField("op").isin("c", "u", "r"), "U")
            .when(is_del, "D"))  # anything else -> NULL (dead-letter marker)
     return df.select(

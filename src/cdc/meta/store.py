@@ -336,6 +336,21 @@ def _acquire_commit_lock(root: str, timeout: float = 30.0) -> int:
 
 def _write_snapshot_locked(root: str, snap: dict[str, Any],
                            ref: str = CURRENT) -> None:
+    # Snapshot ids are allocated OPTIMISTICALLY (outside this lock, during
+    # the long data-write window), so two staged writers — e.g. two
+    # transactions on the same table, or a WAP stage racing a main-line
+    # commit — can both arrive here with the SAME id even though each
+    # passed its own CAS (staged refs CAS only against the shared branch
+    # base). The id-derived metadata paths (snap-*.json, manifest-*-g*.json)
+    # are write-once: if the snapshot file already exists, a concurrent
+    # commit won the id — conflict, never clobber. A CRASHED attempt (data
+    # staged, metadata unwritten) re-allocates the same id safely: its snap
+    # file was never written, so this check cannot fire for it.
+    path = snap_path(root, snap["snapshot_id"])
+    if os.path.exists(path):
+        raise CommitConflictError(
+            f"snapshot id {snap['snapshot_id']} was already written by a "
+            f"concurrent commit — re-read table state and restage")
     files = snap.pop("files", None)
     if files is not None and "manifests" not in snap:
         sid = snap["snapshot_id"]
@@ -366,7 +381,6 @@ def _write_snapshot_locked(root: str, snap: dict[str, Any],
             manifests.append({"path": name, "group": g})
         snap["manifests"] = manifests
 
-    path = snap_path(root, snap["snapshot_id"])
     _fsync_json(path, snap)
     _swap_pointer(root, os.path.basename(path), ref)
 
@@ -619,6 +633,46 @@ def list_tags(root: str) -> dict[str, int]:
                 with open(os.path.join(d, n)) as f:
                     out[n[len("_tag-"):]] = int(f.read().strip())
     return out
+
+
+def list_refs(root: str) -> dict[str, int]:
+    """Live named refs (staged WAP / transaction branches):
+    name -> HEAD snapshot id. Pointer files that dangle (their snapshot
+    JSON was removed out-of-band) still report their recorded id so
+    callers can detect the inconsistency rather than skip it."""
+    d = meta_dir(root)
+    out: dict[str, int] = {}
+    if os.path.isdir(d):
+        for n in sorted(os.listdir(d)):
+            if n.startswith("_ref-") and not n.endswith(".tmp"):
+                with open(os.path.join(d, n)) as f:
+                    name = f.read().strip()
+                sid = name.removeprefix("snap-").removesuffix(".json")
+                if sid.isdigit():
+                    out[n[len("_ref-"):]] = int(sid)
+    return out
+
+
+def ref_chain_ids(root: str, head_id: int) -> set[int]:
+    """Snapshot ids a staged chain holds alive: the HEAD and every parent
+    back to (and including) its branch base — the CAS basis publish_ref
+    validates against. Stops at missing files / id 0, so a partially
+    damaged chain still pins what remains."""
+    ids: set[int] = set()
+    sid = head_id
+    while sid and sid not in ids:
+        ids.add(sid)
+        path = snap_path(root, sid)
+        if not os.path.exists(path):
+            break
+        snap = read_snapshot_file(path)
+        base = snap.get("branch_base", snap["parent_id"])
+        if snap["parent_id"] == base:
+            if base:
+                ids.add(base)
+            break
+        sid = snap["parent_id"]
+    return ids
 
 
 def drop_tag(root: str, name: str) -> bool:

@@ -241,6 +241,35 @@ def dedup_minhash_lsh(spark, sf_dir):
             .distinct())
 
 
+def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
+                        max_rows: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard pairs from a (doc_id, shingle) frame — the
+    QUADRATIC-per-shingle-bucket verification twin of the MinHash+LSH
+    candidate generator above. ``max_rows`` (default: the shared
+    QUADRATIC_MAX_ROWS bound) fails fast on big corpora, counted in
+    DISTINCT documents."""
+    from cdc.vectors import QUADRATIC_MAX_ROWS, guard_quadratic
+    if max_rows is None:
+        max_rows = QUADRATIC_MAX_ROWS
+    guard_quadratic(sh.select("doc_id").distinct(), "ngram_jaccard_pairs",
+                    "dedup_minhash_lsh (banded MinHash)",
+                    None if max_rows == 0 else max_rows)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .filter(jac >= threshold)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+
+
 @q("dedup_ngram_jaccard", _SHINGLE_SQL + """,
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -257,23 +286,8 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
 def dedup_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup: exact set similarity via shingle self-join
     (the oracle/verification path; LSH above is the candidate generator at
-    scale)."""
-    c = _corpus(spark, sf_dir)
-    sh = _shingles(c)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("n_common")))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
-    return (inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-            .filter(jac >= 0.5)
-            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+    scale; guarded by QUADRATIC_MAX_ROWS)."""
+    return ngram_jaccard_pairs(_shingles(_corpus(spark, sf_dir)))
 
 
 _SIMHASH_BITS = 32

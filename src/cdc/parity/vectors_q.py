@@ -221,3 +221,37 @@ def ann_ivf_search(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = ivf_train(emb, n_centroids=8, iters=0)
     return ivf_search(emb.filter(F.col("vec_id") < 20), emb, cent, k=3)
+
+
+@q("ann_ivf_search_np2", "WITH " + _IVF_ASSIGN + f""",
+qprobe AS (
+  SELECT vec_id AS qid, cid FROM ranked0 WHERE rn <= 2 AND vec_id < 20
+),
+qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+pairs AS (
+  SELECT qp.qid, a2.vec_id, {_cos('qv.qe', 'e.embedding')} AS cos
+  FROM qprobe qp JOIN assign a2 ON a2.cid = qp.cid
+       JOIN qv ON qv.qid = qp.qid
+       JOIN embeddings e ON e.vec_id = a2.vec_id
+  WHERE a2.vec_id <> qp.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+  FROM pairs
+)
+SELECT qid, vec_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""")
+def ann_ivf_search_np2(spark, sf_dir):
+    """IVF search with ``nprobe=2`` — the recall knob: each query scans
+    the union of its TWO nearest clusters (every candidate lives in
+    exactly one cluster, so the probes union disjoint candidate sets; the
+    oracle recomputes exact top-k within that union). Same equi-join
+    shape as nprobe=1; the probe list comes from one broadcast scoring
+    pass + a per-query array-sort — no all-pairs anywhere."""
+    from cdc.vectors import ivf_search, ivf_train
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = ivf_train(emb, n_centroids=8, iters=0)
+    return ivf_search(emb.filter(F.col("vec_id") < 20), emb, cent, k=3,
+                      nprobe=2)

@@ -242,6 +242,55 @@ def src_cdctable_read(spark, sf_dir):
             .select("repo", "path", "content"))
 
 
+@q("src_cdctable_read_mor", """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS content
+  FROM events
+),
+state AS (
+  SELECT repo, path, content FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY lsn DESC) AS rn
+    FROM ev) WHERE rn = 1 AND op <> 'D'
+)
+SELECT repo, path, content FROM state
+""")
+def src_cdctable_read_mor(spark, sf_dir):
+    """The ``cdctable`` DataSource over an UNCOMPACTED merge-on-read
+    snapshot: a CoW base commit plus a MOR delta commit (updates, deletes,
+    new keys), read back through ``spark.read.format('cdctable')`` with
+    NO compaction in between. Under the key_hash layout every key's rows
+    share one table partition, so the source reconciles base+delta
+    FILE-LOCALLY per part (max (_lsn, _layer) per key — commit order
+    breaks lsn ties), which the oracle checks by recomputing the global
+    LWW fold over both halves of the log."""
+    from cdc.pipeline import apply_batch
+    from cdc.spark_source import CdcTableDataSource
+    from cdc.table.table import CdcTable
+
+    spark.dataSource.register(CdcTableDataSource)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.col("event_type").alias("path"),
+        F.col("event_id").alias("lsn"),
+        "ts",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("content"),
+        F.lit(0).alias("batch_id"))
+
+    work = _scratch("cdc_src_mor_q")
+    t = CdcTable(f"{work}/t", n_partitions=8, layout="key_hash")
+    apply_batch(spark, t, ev.filter(F.col("lsn") % 2 == 0), "b0",
+                normalize=False, metrics=False)
+    apply_batch(spark, t, ev.filter(F.col("lsn") % 2 == 1), "b1",
+                normalize=False, metrics=False, mode="mor")
+    return (spark.read.format("cdctable").option("root", t.root).load()
+            .select("repo", "path", "content"))
+
+
 @q("txn_multi_table_publish", """
 WITH ev AS (
   SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,

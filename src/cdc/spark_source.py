@@ -25,9 +25,18 @@ Design (scale notes):
   Compaction/repartition commits add files but no new lsns — they
   correctly emit nothing.
 - Batch reads serve the CURRENT (or ``snapshot_id``) manifest one file
-  per partition. A snapshot carrying MOR delta layers refuses: the
-  read-side reconcile needs a key shuffle a per-file source cannot
-  express — compact first, or use ``CdcTable.read``.
+  per partition. A snapshot carrying MOR delta layers still reads: under
+  the ``key_hash`` layout every row of a key lives in ONE table partition
+  (``part`` is a pure function of the key), so the LWW reconcile needs no
+  shuffle — parts carrying deltas are emitted as one InputPartition per
+  PART (base + delta file list) and reconciled FILE-LOCALLY in arrow with
+  the exact write-side rule: max ``(_lsn, _layer)`` per key, ``_layer`` =
+  the committing snapshot's id baked into the staging dir name
+  (``cdc/table/table.py`` read-side reconcile). Non-key-clustered layouts
+  can't make that guarantee and refuse — compact first. Memory: one task
+  materializes one PART's files (base parts are bounded by the
+  compaction planner's files-per-partition target; deltas are batch-
+  sized), the same working-set class as a shuffle-based reconcile task.
 - Exactly-once downstream: Spark checkpoints the snapshot-id offsets;
   replaying a range re-reads immutable files (``expire_snapshots``
   bounds how far back a lagging stream may resume — resuming past the
@@ -68,6 +77,7 @@ def _arrow_schema(ddl: str):
         "tinyint": pa.int8(), "double": pa.float64(), "float": pa.float32(),
         "real": pa.float32(), "boolean": pa.bool_(),
         "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
         "date": pa.date32(), "binary": pa.binary(),
     }
     fields, depth, buf = [], 0, []
@@ -137,6 +147,58 @@ def _aligned_batches(path: str, target, lsn_floor: int | None,
             cols.append(t[field.name].cast(field.type))
         else:
             cols.append(pa.nulls(t.num_rows, type=field.type))
+    yield from pa.table(cols, schema=target).to_batches()
+
+
+def _mor_batches(files: list, target, include_deleted: bool,
+                 commit_id: int, key_cols: tuple) -> Iterator:
+    """Read ONE table partition's base + delta files and reconcile them
+    file-locally: highest ``(_lsn, _layer)`` per key wins — byte-identical
+    semantics to ``CdcTable.read``'s shuffle-based reconcile, valid here
+    because the partition function is a pure function of the key (every
+    row of a key is in this task's file set). ``files`` =
+    [(path, layer, colmap), ...]."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    data_fields = [f for f in target if f.name != "_commit_snapshot"]
+    data_schema = pa.schema(data_fields)
+    tabs = []
+    for path, layer, colmap in files:
+        t = pq.read_table(path)
+        if colmap is not None:
+            t = t.select([src for src, _ in colmap]).rename_columns(
+                [out for _, out in colmap])
+        cols = []
+        for field in data_fields:
+            if field.name in t.column_names:
+                cols.append(t[field.name].cast(field.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, type=field.type))
+        tab = pa.table(cols, schema=data_schema)
+        tabs.append(tab.append_column(
+            "_layer", pa.array([layer] * tab.num_rows, type=pa.int64())))
+    t = pa.concat_tables(tabs)
+    # LWW: sort keys asc + (_lsn, _layer) desc, keep each group's first row.
+    # Equal-lsn ties across layers resolve in COMMIT ORDER via _layer,
+    # matching CoW's batch-wins (>=) semantics.
+    order = ([(k, "ascending") for k in key_cols]
+             + [("_lsn", "descending"), ("_layer", "descending")])
+    t = t.take(pc.sort_indices(t, sort_keys=order))
+    if t.num_rows:
+        first = np.zeros(t.num_rows, dtype=bool)
+        first[0] = True
+        for k in key_cols:
+            arr = t[k].to_numpy(zero_copy_only=False)
+            first[1:] |= arr[1:] != arr[:-1]
+        t = t.filter(pa.array(first))
+    if not include_deleted and "_deleted" in t.column_names:
+        t = t.filter(pc.invert(pc.coalesce(t["_deleted"],
+                                           pa.scalar(False))))
+    cols = [pa.array([commit_id] * t.num_rows, type=pa.int64())
+            if f.name == "_commit_snapshot" else t[f.name] for f in target]
     yield from pa.table(cols, schema=target).to_batches()
 
 
@@ -211,22 +273,56 @@ class CdcBatchReader(DataSourceReader):
 
     def partitions(self):
         import os
+        import re
 
-        if any(f.get("kind") == "delta" for f in self._snap["files"]):
-            raise ValueError(
-                "snapshot has MOR delta layers — the per-file cdctable "
-                "batch source cannot reconcile them (needs a key shuffle); "
-                "compact first or read via CdcTable.read")
         sid = self._snap["snapshot_id"]
-        return [InputPartition((os.path.join(self._root, f["path"]), sid,
-                                _column_map(self._snap, f)))
-                for f in self._snap["files"] if self._keep(f)]
+        files = self._snap["files"]
+        delta_parts = {int(f["part"]) for f in files
+                       if f.get("kind") == "delta"}
+        if delta_parts:
+            # MOR reconcile is file-local ONLY when the partition function
+            # is a pure function of the key (all this engine's layouts hash
+            # key columns) — which needs the recorded key columns
+            cfg = self._snap.get("table_config")
+            if not cfg or not cfg.get("key_cols"):
+                raise ValueError(
+                    "snapshot has MOR delta layers but records no "
+                    "table_config (pre-config history) — the cdctable "
+                    "source cannot reconcile without key columns; compact "
+                    "first or read via CdcTable.read")
+            key_cols = tuple(cfg["key_cols"])
+        out = []
+        by_part: dict[int, list] = {}
+        for f in files:
+            part = int(f["part"])
+            if part in delta_parts:
+                # never prune a delta-carrying part: a skipped delta winner
+                # would resurrect a stale base row (same rule as
+                # CdcTable.read(prune=))
+                m = re.search(r"data/snap-(\d+)[^/]*/", f["path"])
+                layer = int(m.group(1)) if m else 0
+                by_part.setdefault(part, []).append(
+                    (os.path.join(self._root, f["path"]), layer,
+                     _column_map(self._snap, f)))
+            elif self._keep(f):
+                out.append(InputPartition(
+                    ("file", os.path.join(self._root, f["path"]), sid,
+                     _column_map(self._snap, f))))
+        out.extend(InputPartition(("mor", by_part[p], sid, key_cols))
+                   for p in sorted(by_part))
+        return out
 
     def read(self, partition):
-        path, sid, colmap = partition.value
-        yield from _aligned_batches(path, self._target, None,
-                                    self._include_deleted, sid,
-                                    colmap=colmap)
+        kind = partition.value[0]
+        if kind == "mor":
+            _, files, sid, key_cols = partition.value
+            yield from _mor_batches(files, self._target,
+                                    self._include_deleted, sid, key_cols)
+        else:
+            _, path, sid, colmap = partition.value
+            yield from _aligned_batches(path, self._target, None,
+                                        self._include_deleted, sid,
+                                        colmap=colmap)
 
 
 class CdcPushdownBatchReader(CdcBatchReader):

@@ -250,6 +250,12 @@ def expire_snapshots(table: CdcTable, keep_last: int = 3,
             older_than = older_than.astimezone(timezone.utc).isoformat()
     current = table.current_snapshot()["snapshot_id"]
     pinned = set(store.list_tags(table.root).values()) | {current}
+    # staged WAP / transaction chains hold snapshots alive exactly like
+    # tags do: expiring one would leave the ref dangling (publish/drop
+    # crash on a missing snapshot JSON) and let vacuum_orphans reclaim the
+    # staged data files while the ref still exists
+    for head in store.list_refs(table.root).values():
+        pinned |= store.ref_chain_ids(table.root, head)
     expired = []
     for snap in snaps[:-keep_last]:
         sid = snap["snapshot_id"]
@@ -400,6 +406,12 @@ def verify_table(spark: SparkSession, table: CdcTable,
             checks.append(
                 F.sum((F.col("_stored_part") != F.col(PART_COL))
                       .cast("long")).alias("bad_part"))
+        # MOR snapshots without content/_content_sha256 columns have no
+        # applicable data checks; agg(*[]) would crash — the metadata tier
+        # above is the whole result then
+        if not checks:
+            return {"ok": not errors, "errors": errors,
+                    "files_checked": len(files)}
         row = df.agg(*checks).collect()[0]
         d = row.asDict()
         if d.get("bad_sha"):

@@ -21,6 +21,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: default fail-fast bound for the QUADRATIC verification-path operators
+#: (brute-force top-k / all-pairs cosine). Big enough for any oracle or
+#: test corpus, far below anything that would melt a cluster.
+QUADRATIC_MAX_ROWS = 200_000
+
+
+def guard_quadratic(df: DataFrame, op: str, twin: str,
+                    max_rows: int | None) -> None:
+    """The brute-force operators are O(n²) BY DESIGN — verification twins
+    of a sub-quadratic default. Nothing else stops a caller pointing them
+    at a big frame, so they fail fast above ``max_rows`` (pass None to
+    force through). Costs one count() job on the guarded side."""
+    if max_rows is None:
+        return
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op}: input has {n:,} rows (> max_rows={max_rows:,}) — this "
+            f"is the quadratic verification path; use {twin} at scale, or "
+            f"pass max_rows=None to force")
+
 
 def as_double(col) -> "F.Column":
     return F.transform(col, lambda x: x.cast("double"))
@@ -42,14 +63,21 @@ def cosine(a, b) -> "F.Column":
 
 
 def cosine_topk(queries: DataFrame, candidates: DataFrame, k: int,
-                partition_col: str | None = None) -> DataFrame:
+                partition_col: str | None = None,
+                max_rows: int | None = QUADRATIC_MAX_ROWS) -> DataFrame:
     """Top-k cosine neighbors per query row.
 
     ``queries``/``candidates``: (vec_id, embedding array<float>[, partition_col]).
     ``partition_col`` — IVF-style coarse-cluster column: when given, a query
     only scans candidates in its own cluster (the scale path; recall < 1
-    by design, like any IVF index with nprobe=1).
+    by design, like any IVF index with nprobe=1). WITHOUT it this is a
+    broadcast-nested-loop over every candidate — the exact-recall
+    verification baseline, guarded by ``max_rows`` (see ``ivf_search``
+    for the scale path).
     """
+    if partition_col is None:
+        guard_quadratic(candidates, "cosine_topk(partition_col=None)",
+                        "ivf_search (trained quantizer + nprobe)", max_rows)
     q = queries.select(F.col("vec_id").alias("qid"),
                        as_double("embedding").alias("qe"),
                        *([partition_col] if partition_col else []))
@@ -70,10 +98,13 @@ def cosine_topk(queries: DataFrame, candidates: DataFrame, k: int,
                     F.col("rnk").cast("int").alias("rnk")))
 
 
-def cosine_near_dup_pairs(vecs: DataFrame, threshold: float) -> DataFrame:
+def cosine_near_dup_pairs(vecs: DataFrame, threshold: float,
+                          max_rows: int | None = QUADRATIC_MAX_ROWS) -> DataFrame:
     """All (a<b) pairs with cosine >= threshold — brute-force verification
     path for embedding near-dup detection (``cosine_near_dup_lsh`` is the
-    candidate generator at scale)."""
+    candidate generator at scale). Fails fast above ``max_rows``."""
+    guard_quadratic(vecs, "cosine_near_dup_pairs",
+                    "cosine_near_dup_lsh (LSH banding)", max_rows)
     a = vecs.select(F.col("vec_id").alias("id_a"), as_double("embedding").alias("ea"))
     b = vecs.select(F.col("vec_id").alias("id_b"), as_double("embedding").alias("eb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -221,12 +252,47 @@ def ivf_train(vecs: DataFrame, n_centroids: int, iters: int = 0) -> DataFrame:
     return cent
 
 
+def ivf_query_probes(queries: DataFrame, centroids: DataFrame,
+                     nprobe: int) -> DataFrame:
+    """Each query's ``nprobe`` nearest centroids — the IVF recall knob.
+    One broadcast cross-join scores the C centroids per query MAP-SIDE,
+    then one grouped aggregate (collect the C scores, array-sort, slice)
+    picks the top-m; the only shuffle moves C small (neg-cos, cid) structs
+    per query, never the candidate corpus. Ties break to the lowest cid,
+    matching ``ivf_assign``. Returns (vec_id, embedding, centroid) with
+    ``nprobe`` rows per query."""
+    c = F.broadcast(centroids.select("cid", "cemb"))
+    pairs = queries.select("vec_id", "embedding",
+                           as_double("embedding").alias("emb")).crossJoin(c)
+    scored = pairs.select(
+        "vec_id", "embedding", "cid",
+        cosine(F.col("emb"), F.col("cemb")).alias("cos"))
+    # array_sort on struct(-cos, cid) = cosine desc, ties to lowest cid
+    probes = F.slice(
+        F.array_sort(F.collect_list(F.struct(
+            (-F.col("cos")).alias("neg"), F.col("cid").alias("cid")))),
+        1, nprobe)
+    return (scored.groupBy("vec_id", "embedding").agg(probes.alias("pr"))
+            .select("vec_id", "embedding", F.explode("pr").alias("p"))
+            .select("vec_id", "embedding", F.col("p.cid").alias("centroid")))
+
+
 def ivf_search(queries: DataFrame, vecs: DataFrame, centroids: DataFrame,
-               k: int) -> DataFrame:
-    """IVF nprobe=1 search: assign queries and candidates to the trained
-    quantizer, then top-k cosine WITHIN the query's cluster only — the
-    candidate set shrinks by ~n_clusters and the join is a plain equi-join
-    on the centroid id (the 100 TB path)."""
+               k: int, nprobe: int = 1) -> DataFrame:
+    """IVF search: assign queries and candidates to the trained quantizer,
+    then top-k cosine WITHIN the query's probed cluster(s) only — the
+    candidate set shrinks by ~n_clusters/nprobe and the join is a plain
+    equi-join on the centroid id (the 100 TB path).
+
+    ``nprobe`` — how many nearest clusters each query scans (the standard
+    IVF recall/latency knob): every candidate is assigned to exactly ONE
+    cluster, so probing m clusters unions m disjoint candidate sets and
+    the per-query top-k ranks that union. nprobe = n_centroids degrades
+    gracefully to exact search."""
     av = ivf_assign(vecs, centroids).select("vec_id", "embedding", "centroid")
-    aq = ivf_assign(queries, centroids).select("vec_id", "embedding", "centroid")
+    if nprobe <= 1:
+        aq = ivf_assign(queries, centroids).select(
+            "vec_id", "embedding", "centroid")
+    else:
+        aq = ivf_query_probes(queries, centroids, nprobe)
     return cosine_topk(aq, av, k=k, partition_col="centroid")

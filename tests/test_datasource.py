@@ -56,12 +56,31 @@ def test_batch_read_matches_table_read(spark, table):
     assert rows_of(old) == rows_of(table.read(spark, snapshot_id=1))
 
 
-def test_batch_read_refuses_delta_layers(spark, table):
-    apply_batch(spark, table, ev(spark, [("r9", "z", 20, "m", "U")]), "bm",
-                normalize=False, metrics=False, mode="mor")
-    with pytest.raises(Exception, match="delta layers"):
-        (spark.read.format("cdctable").option("root", table.root)
-         .load().collect())
+def test_batch_read_reconciles_delta_layers(spark, table):
+    """MOR snapshots read through the source: per-part file-local LWW
+    reconcile, byte-identical to CdcTable.read on the uncompacted table —
+    including multi-layer updates, an equal-lsn cross-layer tie (commit
+    order wins via the _layer ordinal), a delta delete of a base row,
+    and a delta-only new key."""
+    apply_batch(spark, table,
+                ev(spark, [("r1", "a", 20, "m1", "U"),   # update base key
+                           ("r3", "c", 21, None, "D"),   # delete base key
+                           ("r9", "z", 22, "new", "U")]),  # delta-only key
+                "bm1", normalize=False, metrics=False, mode="mor")
+    apply_batch(spark, table,
+                ev(spark, [("r1", "a", 20, "m2", "U")]),  # equal-lsn tie
+                "bm2", normalize=False, metrics=False, mode="mor")
+    df = spark.read.format("cdctable").option("root", table.root).load()
+    assert rows_of(df) == rows_of(table.read(spark))
+    assert ("r1", "a", "m2", 20) in rows_of(df)          # later layer won
+    assert "r3" not in {r.repo for r in df.collect()}    # delete applied
+    # tombstone winners surface under include_deleted, same as the table
+    dd = (spark.read.format("cdctable").option("root", table.root)
+          .option("include_deleted", "true").load())
+    assert rows_of(dd) == rows_of(table.read(spark, include_deleted=True))
+    # the commit-snapshot stamp is the snapshot being served
+    sid = table.current_snapshot()["snapshot_id"]
+    assert {r._commit_snapshot for r in df.collect()} == {sid}
 
 
 def test_stream_emits_per_commit_change_rows(spark, table):

@@ -274,6 +274,51 @@ def test_ivf_train_and_assign(spark):
     assert any(list(r.cemb) != list(c1[r.cid]) for r in s0 if r.cid in c1)
 
 
+def test_ivf_nprobe_improves_recall_monotonically(spark):
+    """nprobe is the IVF recall knob: recall vs brute-force top-k must be
+    non-decreasing in nprobe, and nprobe = n_centroids = exact search
+    (every cluster probed -> the full candidate set)."""
+    from cdc.vectors import cosine_topk, ivf_search, ivf_train
+    vecs = _toy_vecs(spark, n=60, dim=8, dupes=())
+    queries = vecs.filter(F.col("vec_id") < 10)
+    cent = ivf_train(vecs, n_centroids=4, iters=0)
+    truth = {(r.qid, r.vec_id) for r in
+             cosine_topk(queries, vecs, k=3).collect()}
+
+    def recall(nprobe):
+        got = {(r.qid, r.vec_id) for r in
+               ivf_search(queries, vecs, cent, k=3, nprobe=nprobe).collect()}
+        return len(got & truth) / len(truth)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4
+    assert r4 == 1.0                       # all clusters probed == exact
+    assert r2 > r1 or r1 == 1.0            # the knob actually moves recall
+
+
+def test_quadratic_guards_fail_fast(spark):
+    """The brute-force verification twins refuse big inputs with a
+    pointer to their sub-quadratic default."""
+    from cdc.vectors import cosine_near_dup_pairs, cosine_topk
+    vecs = _toy_vecs(spark, n=50, dim=8, dupes=())
+    with pytest.raises(ValueError, match="cosine_near_dup_lsh"):
+        cosine_near_dup_pairs(vecs, 0.95, max_rows=10).collect()
+    with pytest.raises(ValueError, match="ivf_search"):
+        cosine_topk(vecs.limit(5), vecs, k=3, max_rows=10).collect()
+    # max_rows=None forces through; partitioned top-k is never guarded
+    assert cosine_near_dup_pairs(vecs, 0.9999, max_rows=None).count() >= 0
+
+
+def test_ngram_jaccard_guard(spark):
+    from cdc.parity.textops import _shingles, ngram_jaccard_pairs
+    docs = spark.createDataFrame(
+        [(i, "one two three four five") for i in range(20)],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="dedup_minhash_lsh"):
+        ngram_jaccard_pairs(_shingles(docs), max_rows=5).collect()
+    assert ngram_jaccard_pairs(_shingles(docs), max_rows=100).count() > 0
+
+
 def test_exact_ntile_matches_window_ntile(spark):
     """The distributed exact_ntile must equal ntile() over the global
     window for every k, including ties and k > N."""
