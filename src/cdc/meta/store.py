@@ -40,7 +40,18 @@ import os
 from typing import Any
 
 CURRENT = "_current"
-LEDGER_KEEP = 10_000  # recent batch keys kept for duplicate-epoch detection
+# Recent batch keys kept for duplicate-epoch detection. A batch_key OLDER
+# than this window re-APPLIES instead of short-circuiting on the ledger —
+# which is still a no-op by the LSN merge guard: stale rows lose to state
+# (strictly lower lsn), and an equal-lsn re-application (replaying the
+# very latest batch) deterministically recomputes the same collapse and
+# rewrites identical values. This holds for BOTH full-row images
+# (merge_apply) and image='patch' (merge_patches: same >= row-lsn guard,
+# per-column coalesce of an identical collapsed patch). The cost of an
+# out-of-window replay is therefore a wasted commit cycle, never wrong
+# data. Pinned by tests/test_round3_fixes.py::
+# test_batch_key_past_ledger_window_replays_as_lsn_noop.
+LEDGER_KEEP = 10_000
 MANIFEST_GROUPS = 8   # partition-group fan-out of the manifest list
 
 

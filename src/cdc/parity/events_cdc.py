@@ -274,14 +274,26 @@ def a1_lineage_metrics(spark, sf_dir):
         F.round(F.sum("value"), 4).alias("sum_value"))
 
 
-@q("a3_approx_distinct")  # HLL estimate: no SQL oracle (rows-only check)
+@q("a3_approx_distinct", """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS hll_within_5pct
+FROM events GROUP BY event_type
+""")
 def a3_approx_distinct(spark, sf_dir):
     """A3 — approx_count_distinct (HyperLogLog++): cheap cardinality for
-    metrics. No oracle: DuckDB's approx sketch differs; driver records a
-    rows-only check."""
+    metrics. The sketch estimate itself can't hash-match another engine,
+    so the query carries its own TOLERANCE oracle: the exact per-group
+    distinct (hash-compared against DuckDB) plus a boolean asserting the
+    HLL estimate landed within ±5% of it (rsd default 0.05; deterministic
+    for fixed data) — the oracle expects TRUE for every group."""
     ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"))
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"))
+    return agg.select(
+        "event_type", "exact_users",
+        (F.abs(F.col("approx") - F.col("exact_users"))
+         <= 0.05 * F.col("exact_users")).alias("hll_within_5pct"))
 
 
 @q("a5_rollup", """

@@ -416,6 +416,33 @@ def txt_split_holdout(spark, sf_dir):
         F.when(b < _HOLDOUT_PCT, "holdout").otherwise("train").alias("split"))
 
 
+def domain_quota(docs: DataFrame, cap: int, salts: int = 16) -> DataFrame:
+    """Per-domain quota sampling, TWO-STAGE SALTED (the mega-domain-safe
+    form): stage 1 ranks within (source, salt) and keeps <= cap per salt
+    bucket — a provable SUPERSET of the global per-source top-cap (any row
+    in the global top-cap is within the top-cap of its own bucket); stage 2
+    re-ranks the <= cap*salts survivors per source. The web-corpus skew
+    case (one domain = half the corpus) never serializes on a single
+    window task: stage 1 spreads it over ``salts`` tasks and stage 2 sees
+    at most cap*salts rows per domain, never the domain.
+
+    Priority is the deterministic md5 of doc_id (an engine-reproducible
+    uniform sample); ties break on doc_id. Returns (doc_id, source, rn)
+    with rn = the exact global rank 1..cap — identical output to the
+    single-window form."""
+    pri = F.md5(F.col("doc_id").cast("string"))
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salts))
+    w1 = Window.partitionBy("source", "_salt").orderBy("_pri", "doc_id")
+    survivors = (docs.select("doc_id", "source", pri.alias("_pri"),
+                             salt.alias("_salt"))
+                 .withColumn("_rn1", F.row_number().over(w1))
+                 .filter(F.col("_rn1") <= cap))
+    w2 = Window.partitionBy("source").orderBy("_pri", "doc_id")
+    return (survivors.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= cap)
+            .select("doc_id", "source", "rn"))
+
+
 @q("txt_domain_quota", f"""
 SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (
   SELECT doc_id, source,
@@ -427,19 +454,10 @@ WHERE rn <= {_DOMAIN_CAP}
 def txt_domain_quota(spark, sf_dir):
     """Per-domain quota sampling (domain balancing): keep at most K docs
     per source, chosen by deterministic md5 priority — a uniform random
-    sample that is reproducible across engines.
-
-    Scale: one window shuffle on the domain key. A skewed mega-domain
-    bottlenecks a single task; the two-stage refinement is the same shape
-    as the salted LWW (cdc/dedup.py): rank within (source, salt) keeping
-    <= K per salt — a superset of the global top-K — then re-rank the
-    survivors. K*S rows per domain reach stage two, never the domain."""
-    d = _docs(spark, sf_dir)
-    w = (Window.partitionBy("source")
-         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id")))
-    return (d.select("doc_id", "source",
-                     F.row_number().over(w).alias("rn"))
-            .filter(F.col("rn") <= _DOMAIN_CAP))
+    sample that is reproducible across engines. Runs the two-stage salted
+    form (``domain_quota``); the oracle pins that its output equals the
+    single-window global rank."""
+    return domain_quota(_docs(spark, sf_dir), _DOMAIN_CAP)
 
 
 @q("txt_pack_bins", f"""

@@ -229,3 +229,91 @@ def test_batch_pushdown_prunes_files(spark, tmp_path):
     assert sorted((x.repo, x.score) for x in got) == \
         sorted((x.repo, x.score) for x in want)
     spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+# -- cross-path equivalence: stream tail == change_feed (property test) -------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_KEYS = ["a", "b", "c", "d"]
+_EVS = st.lists(st.tuples(st.sampled_from(_KEYS),
+                          st.sampled_from(["U", "U", "D"]),
+                          st.text(alphabet="xy", max_size=2)),
+                min_size=1, max_size=4)
+_OPS = st.lists(st.tuples(st.sampled_from(["cow", "mor", "compact", "branch"]),
+                          _EVS),
+                min_size=2, max_size=5)
+
+
+@given(ops=_OPS)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_stream_tail_equals_change_feed(spark, tmp_path, ops):
+    """For ANY mix of CoW / MOR / compaction / branch-publish commits, the
+    cdctable streaming change-tail over (from, to], LWW-collapsed per key
+    by (commit, _lsn) and classified against the from-snapshot, must equal
+    timetravel.change_feed(from, to) — two completely independent change
+    surfaces (per-commit added-file scan vs snapshot full-outer diff)."""
+    import tempfile
+
+    from cdc.table.maintenance import compact
+    from cdc.table.timetravel import change_feed
+    from cdc.table import wap
+
+    t = CdcTable(tempfile.mkdtemp(dir=tmp_path), n_partitions=4,
+                 layout="key_hash")
+    lsn = 0
+
+    def batch(events):
+        nonlocal lsn
+        rows = []
+        for path, op, content in events:
+            lsn += 1
+            rows.append(("r", path, lsn,
+                         None if op == "D" else content, op))
+        return ev(spark, rows)
+
+    apply_batch(spark, t, batch([("a", "U", "x"), ("b", "U", "y")]), "seed",
+                normalize=False, metrics=False)
+    from_id = t.current_snapshot()["snapshot_id"]
+    for i, (kind, events) in enumerate(ops):
+        if kind == "compact":
+            compact(spark, t)
+        elif kind == "branch":
+            wap.stage(spark, t, batch(events), f"b{i}", ref="audit")
+            wap.publish(t, ref="audit")
+        else:
+            apply_batch(spark, t, batch(events), f"b{i}",
+                        normalize=False, metrics=False,
+                        mode="cow" if kind == "cow" else "mor")
+    to_id = t.current_snapshot()["snapshot_id"]
+
+    feed = change_feed(spark, t, from_id, to_id)
+    expected = {(r.repo, r.path): (r._change_type, r._content_sha256)
+                for r in feed.collect()}
+
+    r = CdcStreamReader(t.root, {"root": t.root})
+    rows = [row for p in r.partitions({"snapshot_id": from_id},
+                                      {"snapshot_id": to_id})
+            for b in r.read(p) for row in b.to_pylist()]
+    win: dict = {}
+    for x in rows:
+        key = (x["repo"], x["path"])
+        cur = win.get(key)
+        if cur is None or (x["_commit_snapshot"], x["_lsn"]) > \
+                (cur["_commit_snapshot"], cur["_lsn"]):
+            win[key] = x
+    from_state = {(r.repo, r.path): r._content_sha256
+                  for r in t.read(spark, snapshot_id=from_id).collect()}
+    derived = {}
+    for key, x in win.items():
+        if x["_deleted"]:
+            if key in from_state:
+                derived[key] = ("delete", None)
+        elif key not in from_state:
+            derived[key] = ("insert", x["_content_sha256"])
+        elif from_state[key] != x["_content_sha256"]:
+            derived[key] = ("update", x["_content_sha256"])
+    assert derived == expected

@@ -309,7 +309,32 @@ def test_quadratic_guards_fail_fast(spark):
     assert cosine_near_dup_pairs(vecs, 0.9999, max_rows=None).count() >= 0
 
 
-def test_ngram_jaccard_guard(spark):
+def test_domain_quota_two_stage_salted(spark):
+    """The two-stage salted quota must (a) equal the naive single-window
+    global rank on a skewed corpus, and (b) never run a whole domain
+    through ONE window task: the first Window in the plan partitions by
+    (source, _salt)."""
+    from pyspark.sql import Window as W
+
+    from cdc.parity.textops import domain_quota
+    rows = [(i, "mega.example") for i in range(500)] + \
+           [(1000 + i, f"small{i % 7}.example") for i in range(70)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_quota(docs, cap=20, salts=8)
+
+    naive_w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    naive = (docs.select("doc_id", "source",
+                         F.row_number().over(naive_w).alias("rn"))
+             .filter(F.col("rn") <= 20))
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, naive.collect()))
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert len(windows) >= 2
+    # stage 1 (the last Window in the tree = first executed) is salted
+    assert "_salt" in windows[-1], windows
     from cdc.parity.textops import _shingles, ngram_jaccard_pairs
     docs = spark.createDataFrame(
         [(i, "one two three four five") for i in range(20)],

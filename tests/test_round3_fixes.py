@@ -129,6 +129,54 @@ def test_expire_snapshots_pins_staged_branch_chain(spark, tmp_path):
     assert wap.staged(t, ref="audit") is None
 
 
+# ---------------------------------------------------- ledger window bound
+
+def test_batch_key_past_ledger_window_replays_as_lsn_noop(
+        spark, tmp_path, monkeypatch):
+    """A batch_key trimmed out of the LEDGER_KEEP window re-applies
+    instead of short-circuiting — the LSN merge guard must make that
+    replay a no-op for full images AND patch images."""
+    monkeypatch.setattr(store, "LEDGER_KEEP", 2)
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", "U")]), "old",
+                normalize=False, metrics=False)
+    # push 'old' out of the 2-entry ledger window
+    apply_batch(spark, t, ev(spark, [("r1", "a", 5, "v2", "U")]), "mid",
+                normalize=False, metrics=False)
+    apply_batch(spark, t, ev(spark, [("r1", "b", 6, "w1", "U")]), "new",
+                normalize=False, metrics=False)
+    assert not t.is_committed("old") and t.is_committed("new")
+
+    before = contents(t.read(spark))
+    res = apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", "U")]),
+                      "old", normalize=False, metrics=False)
+    # not a ledger short-circuit: it really re-applied (a new snapshot)...
+    assert res is not None
+    # ...but the stale row lost the LSN guard — data unchanged
+    assert contents(t.read(spark)) == before == {("r1", "a"): "v2",
+                                                 ("r1", "b"): "w1"}
+
+    # patch-image twin: stale patch loses; equal-lsn latest-patch replay
+    # recomputes the identical coalesce
+    p = (spark.createDataFrame(
+            [("r1", "a", 9, "patched", "U")],
+            "repo string, path string, lsn long, content string, op string")
+         .select("*", F.to_timestamp(F.lit("2026-01-02")).alias("ts"),
+                 F.lit(0).alias("batch_id")))
+    apply_batch(spark, t, p, "p1", normalize=False, metrics=False,
+                image="patch")
+    apply_batch(spark, t, ev(spark, [("r9", "x", 10, "z", "U")]), "f1",
+                normalize=False, metrics=False)
+    apply_batch(spark, t, ev(spark, [("r9", "y", 11, "z", "U")]), "f2",
+                normalize=False, metrics=False)
+    assert not t.is_committed("p1")
+    before = contents(t.read(spark))
+    apply_batch(spark, t, p, "p1", normalize=False, metrics=False,
+                image="patch")
+    assert contents(t.read(spark)) == before
+    assert before[("r1", "a")] == "patched"
+
+
 # ------------------------------------------------------ index empty lookup
 
 def test_index_lookup_before_refresh_raises_clear_error(spark, tmp_path):
