@@ -67,7 +67,7 @@ _DRIVER_WINDOW = [
     "a1_lineage_metrics", "a3_approx_distinct", "u2_except",
     "w2_lag_transitions", "w4_ntile_deciles", "o3_topk_hot",
     # streaming-shape + functions
-    "t4_session_window", "f1_sha256_invariant", "f6_array_hof",
+    "t4_session_window", "f1_sha256_invariant", "a10_patch_mor_lww",
     # document dedup / training-set assembly
     "dedup_exact_docs", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "txt_domain_quota", "txt_decontaminate",

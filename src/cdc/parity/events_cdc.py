@@ -631,3 +631,49 @@ def a9_patch_column_lww(spark, sf_dir):
          .otherwise(F.col("event_type")).alias("etype"))
     return column_lww(ev, keys=("user_id",), order="lsn",
                       value_cols=("val", "etype"))
+
+
+@q("a10_patch_mor_lww", """
+WITH patches AS (
+  SELECT CAST(user_id AS VARCHAR) AS repo, event_id AS lsn,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) END AS content,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS etype
+  FROM events)
+SELECT repo,
+       arg_max(content, lsn) FILTER (WHERE content IS NOT NULL) AS content,
+       arg_max(etype, lsn) FILTER (WHERE etype IS NOT NULL) AS etype,
+       max(lsn) AS lsn
+FROM patches GROUP BY repo
+""")
+def a10_patch_mor_lww(spark, sf_dir):
+    """A10 — patch-image MERGE-ON-READ lifecycle (round 3): the patch
+    stream lands as two ``apply_batch(image='patch', mode='mor')`` delta
+    commits (O(batch) writes, no partition rewrite) and the table is read
+    back UNCOMPACTED — the read-side per-column commit-order fold
+    (cdc.patch.patch_reconcile) must reproduce the global per-column
+    last-non-null fold the oracle states. The cross-batch split is by lsn,
+    so sequential batch coalesce == one global fold."""
+    from cdc.pipeline import apply_batch
+    from cdc.table.table import CdcTable
+    from cdc.parity.udf_q import _scratch
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.lit("p").alias("path"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("string"))
+         .otherwise(F.col("value").cast("decimal(18,2)").cast("string"))
+         .alias("content"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("string"))
+         .otherwise(F.col("event_type")).alias("etype"),
+        F.lit("U").alias("op"), "ts", F.lit(0).alias("batch_id"))
+
+    t = CdcTable(f"{_scratch('cdc_patch_mor_q')}/t", n_partitions=8,
+                 layout="key_hash")
+    apply_batch(spark, t, ev.filter(F.col("lsn") <= 500), "b0",
+                normalize=False, metrics=False, image="patch", mode="mor")
+    apply_batch(spark, t, ev.filter(F.col("lsn") > 500), "b1",
+                normalize=False, metrics=False, image="patch", mode="mor")
+    return t.read(spark).select("repo", "content", "etype",
+                                F.col("_lsn").alias("lsn"))

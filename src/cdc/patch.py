@@ -133,3 +133,71 @@ def merge_patches(state: DataFrame, patch_final: DataFrame,
          .otherwise(F.coalesce(F.col("_deleted"), F.lit(False))).alias("_deleted"),
     ]
     return joined.select(*sel)
+
+
+def patch_reconcile(df: DataFrame, keys: Sequence[str] = KEY_COLS) -> DataFrame:
+    """READ-side reconcile for patch-image MOR delta layers: per key, fold
+    the base row plus every patch layer IN COMMIT ORDER (``_layer``) with
+    exactly ``merge_patches``' semantics — the >= row-LSN guard, per-column
+    ``coalesce(patch, acc)``, delete resets the row, a later patch
+    resurrects from NULL state. One hash aggregate per key
+    (collect_list -> array_sort by layer -> ``F.aggregate`` fold), fully
+    codegen'd — the same one-wide-shuffle shape as the row-level LWW
+    reconcile, paid only while deltas exist (compaction folds them).
+
+    ``df``: keys + value columns + ``_lsn``/``_updated_ts``/
+    ``_content_sha256``/``_deleted`` + ``_layer`` (commit ordinal) +
+    ``_is_patch`` (False for base/full-image rows, True for patch delta
+    rows). Equivalence with the sequential CoW fold is pinned by
+    tests/test_patch.py::test_patch_mor_read_equals_cow_fold."""
+    sys_here = ("_lsn", "_updated_ts", "_content_sha256", "_deleted",
+                "_layer", "_is_patch")
+    value_cols = [c for c in df.columns if c not in (*keys, *sys_here)]
+    types = {f.name: f.dataType for f in df.schema.fields}
+
+    item = F.struct(
+        F.col("_layer").alias("layer"),
+        F.col("_lsn").alias("lsn"),
+        F.col("_updated_ts").alias("ts"),
+        F.coalesce(F.col("_deleted"), F.lit(False)).alias("deleted"),
+        F.col("_is_patch").alias("is_patch"),
+        *[F.col(c).alias(f"v_{c}") for c in value_cols])
+    grouped = (df.groupBy(*[F.col(k) for k in keys])
+               .agg(F.array_sort(F.collect_list(item)).alias("_items")))
+
+    def _acc(lsn, ts, deleted, vals):
+        return F.struct(lsn.alias("lsn"), ts.alias("ts"),
+                        deleted.alias("deleted"),
+                        *[v.alias(f"v_{c}") for c, v in vals])
+
+    def _nulls():
+        return [(c, F.lit(None).cast(types[c])) for c in value_cols]
+
+    zero = _acc(F.lit(-1).cast("long"),
+                F.lit(None).cast(types["_updated_ts"]),
+                F.lit(True), _nulls())
+
+    def step(acc, x):
+        wins = x["lsn"] >= acc["lsn"]
+        tomb = _acc(x["lsn"], x["ts"], F.lit(True), _nulls())
+        patched = _acc(x["lsn"], x["ts"], F.lit(False),
+                       [(c, F.coalesce(x[f"v_{c}"], acc[f"v_{c}"]))
+                        for c in value_cols])
+        full = _acc(x["lsn"], x["ts"], F.lit(False),
+                    [(c, x[f"v_{c}"]) for c in value_cols])
+        return (F.when(~wins, acc)
+                 .when(x["deleted"], tomb)
+                 .when(x["is_patch"], patched)
+                 .otherwise(full))
+
+    acc = F.aggregate(F.col("_items"), zero, step)
+    sha = (F.when(acc["deleted"], F.lit(None))
+            .otherwise(F.sha2(acc["v_content"], 256))
+           if "content" in value_cols else F.lit(None).cast("string"))
+    return grouped.select(
+        *keys,
+        *[acc[f"v_{c}"].alias(c) for c in value_cols],
+        acc["lsn"].alias("_lsn"),
+        acc["ts"].alias("_updated_ts"),
+        sha.alias("_content_sha256"),
+        acc["deleted"].alias("_deleted"))

@@ -54,9 +54,12 @@ def apply_batch(
     ``image='full'`` — events carry full row images (default; row-level
     LWW). ``image='patch'`` — events are partial updates (NULL = column
     not touched): the collapse is per-column last-non-null
-    (``cdc.patch``) and the merge coalesces into state. Patch feeds
-    require ``mode='cow'`` — the MOR read reconcile is row-level, so a
-    patch delta layer would shadow columns it didn't touch.
+    (``cdc.patch``) and the merge coalesces into state. With
+    ``mode='mor'`` the collapsed patch lands as a PATCH delta layer
+    (O(batch) write); readers fold base + patch layers per column in
+    commit order (``cdc.patch.patch_reconcile``) and compaction folds
+    them back to one base. Row-image and patch-image delta layers never
+    mix in one uncompacted snapshot (commit_delta refuses).
 
     ``conflict_retries`` — on ``CommitConflictError`` (another writer
     advanced the table between our state read and the CAS pointer swap),
@@ -75,9 +78,6 @@ def apply_batch(
     budget, else 'maxby'."""
     if image not in ("full", "patch"):
         raise ValueError(f"unknown image kind {image!r}")
-    if image == "patch" and mode == "mor":
-        raise ValueError("patch feeds require mode='cow' (the MOR read "
-                         "reconcile is row-level)")
     if table.is_committed(batch_key):
         return table.current_snapshot()
     # resume-path guard only: a fully-applied tail must not commit an empty
@@ -128,7 +128,12 @@ def apply_batch(
         while True:
             try:
                 if mode == "mor":
-                    snap = table.commit_delta(spark, final, batch_key)
+                    # patch-image deltas: the batch's per-column collapse
+                    # lands as a 'patch' layer; readers fold by per-column
+                    # coalesce in commit order (cdc.patch.patch_reconcile)
+                    snap = table.commit_delta(
+                        spark, final, batch_key,
+                        delta_image="patch" if image == "patch" else "row")
                 elif image == "patch":
                     from cdc.patch import merge_patches
                     snap = table.commit_merge(spark, final, batch_key,

@@ -280,6 +280,12 @@ class CdcBatchReader(DataSourceReader):
         delta_parts = {int(f["part"]) for f in files
                        if f.get("kind") == "delta"}
         if delta_parts:
+            if any(f.get("kind") == "delta"
+                   and f.get("image", "row") == "patch" for f in files):
+                raise ValueError(
+                    "snapshot has PATCH-image delta layers — the cdctable "
+                    "source's file-local reconcile is row-level; compact "
+                    "first or read via CdcTable.read (patch fold)")
             # MOR reconcile is file-local ONLY when the partition function
             # is a pure function of the key (all this engine's layouts hash
             # key columns) — which needs the recorded key columns

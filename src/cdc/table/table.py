@@ -451,6 +451,11 @@ class CdcTable:
             files = [f for f in files if keep(f)]
         target = T.StructType.fromDDL(snap["schema_ddl"])
         has_delta = any(f.get("kind") == "delta" for f in files)
+        # patch-image deltas (apply_batch(image='patch', mode='mor'))
+        # reconcile by per-column coalesce in commit order, not row LWW;
+        # commit_delta refuses to mix the two kinds in one snapshot
+        has_patch = any(f.get("kind") == "delta"
+                        and f.get("image", "row") == "patch" for f in files)
         if not files:
             df = spark.createDataFrame([], target)
         else:
@@ -462,10 +467,12 @@ class CdcTable:
                          (snap.get("column_ids") or {}).items()}
             by_ddl: dict[tuple, list[str]] = {}
             for f in files:
-                key = (f["columns"], tuple(f.get("ids") or ()))
+                key = (f["columns"], tuple(f.get("ids") or ()),
+                       f.get("kind") == "delta"
+                       and f.get("image", "row") == "patch")
                 by_ddl.setdefault(key, []).append(os.path.join(self.root, f["path"]))
             dfs = []
-            for (ddl, ids), paths in sorted(by_ddl.items()):
+            for (ddl, ids, is_patch), paths in sorted(by_ddl.items()):
                 d = spark.read.schema(ddl).parquet(*paths)
                 if ids:
                     sel = [F.col(n).alias(id_to_cur[i])
@@ -480,6 +487,8 @@ class CdcTable:
                     # 'snap-<digits>' must not shadow the layer id
                     d = d.withColumn("_layer", F.regexp_extract(
                         F.input_file_name(), r"data/snap-(\d+)[^/]*/", 1).cast("long"))
+                    if has_patch:
+                        d = d.withColumn("_is_patch", F.lit(bool(is_patch)))
                 dfs.append(d)
             df = dfs[0]
             for d in dfs[1:]:
@@ -491,8 +500,16 @@ class CdcTable:
                     for f in target.fields]
             if has_delta:
                 cols.append(F.col("_layer"))
+                if has_patch:
+                    cols.append(F.col("_is_patch"))
             df = df.select(*cols)
-        if has_delta:
+        if has_delta and has_patch:
+            # patch-image merge-on-read reconcile: per key, fold base +
+            # patch layers in COMMIT ORDER with merge_patches' exact
+            # semantics (>= lsn guard, per-column coalesce, delete resets)
+            from cdc.patch import patch_reconcile
+            df = patch_reconcile(df, keys=self.key_cols)
+        elif has_delta:
             # merge-on-read reconcile: several layers may carry the same key
             # (base + delta commits); highest _lsn wins — identical to the
             # write-side MERGE guard, paid at read time. Equal-_lsn ties
@@ -755,7 +772,8 @@ class CdcTable:
 
     def commit_delta(self, spark: SparkSession, batch_final: DataFrame,
                      batch_key: str, ref: str = store.CURRENT,
-                     onto: dict | None = None) -> dict:
+                     onto: dict | None = None,
+                     delta_image: str = "row") -> dict:
         """Merge-on-read commit (the write-amplification answer at
         10^10-event scale): append ONLY the batch's winner rows (incl.
         tombstones) as a delta layer for the touched partitions — no state
@@ -767,11 +785,24 @@ class CdcTable:
         O(touched-partition size) per commit and reads are free; MOR pays
         O(batch size) per commit and reads pay the reconcile until the next
         compaction — the right trade for high-frequency small batches."""
+        if delta_image not in ("row", "patch"):
+            raise ValueError(f"unknown delta_image {delta_image!r}")
         batch_key = str(batch_key)
         parent = onto if onto is not None else self.current_snapshot()
         if parent and batch_key in parent["committed_batches"]:
             return parent
         self._check_config(parent)
+        if parent:
+            # row-image and patch-image delta layers reconcile by DIFFERENT
+            # rules (row LWW vs per-column coalesce in commit order); mixing
+            # them in one uncompacted snapshot is ambiguous — compact first
+            other = {"row": "patch", "patch": "row"}[delta_image]
+            if any(f.get("kind") == "delta"
+                   and f.get("image", "row") == other
+                   for f in parent["files"]):
+                raise ValueError(
+                    f"table has uncompacted {other}-image delta layers — "
+                    f"compact before committing {delta_image}-image deltas")
 
         rows = M.batch_to_state_rows(batch_final, keys=self.key_cols)
         if parent is not None:
@@ -787,6 +818,9 @@ class CdcTable:
         sid = store.next_snapshot_id(self.root)
         # one job total: the write; lsn bounds come back from the footers
         entries, ddl = self._write_data(rows, sid, kind="delta")
+        if delta_image == "patch":
+            for e in entries:
+                e["image"] = "patch"   # readers pick the per-column fold
         lsn_maxes = [e["lsn_max"] for e in entries if e["lsn_max"] >= 0]
         # empty-first-commit fallback is -1 (the empty-table sentinel used by
         # lsn_high()): recording 0 would silently drop a genuine lsn=0 event

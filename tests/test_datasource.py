@@ -282,7 +282,11 @@ def test_stream_tail_equals_change_feed(spark, tmp_path, ops):
         if kind == "compact":
             compact(spark, t)
         elif kind == "branch":
-            wap.stage(spark, t, batch(events), f"b{i}", ref="audit")
+            # stage takes an LWW-collapsed batch (apply_batch collapses;
+            # stage is the plumbing underneath)
+            from cdc.dedup import last_writer_wins
+            wap.stage(spark, t, last_writer_wins(batch(events)),
+                      f"b{i}", ref="audit")
             wap.publish(t, ref="audit")
         else:
             apply_batch(spark, t, batch(events), f"b{i}",

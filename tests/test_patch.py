@@ -102,9 +102,14 @@ def test_apply_batch_patch_mode_end_to_end(spark, tmp_path):
     snap = apply_batch(spark, t, ev(spark, [("r1", "a", 5, None, "fr", "U")]),
                        "b1", normalize=False, metrics=False, image="patch")
     assert snap["snapshot_id"] == t.current_snapshot()["snapshot_id"]
-    with pytest.raises(ValueError, match="mode='cow'"):
-        apply_batch(spark, t, ev(spark, [("r1", "a", 9, None, "it", "U")]),
-                    "b2", image="patch", mode="mor")
+    # patch + mor lands a patch delta layer (round 3: no longer refused);
+    # the read-side per-column fold applies it over the CoW state
+    apply_batch(spark, t, ev(spark, [("r1", "a", 9, None, "it", "U")]),
+                "b2", normalize=False, metrics=False, image="patch",
+                mode="mor")
+    got = {(r.repo, r.path): (r.content, r.lang)
+           for r in t.read(spark).collect()}
+    assert got[("r1", "a")] == ("v1", "it")
 
 
 def test_stream_to_table_patch_mode_across_epochs(spark, tmp_path):
@@ -142,3 +147,87 @@ def test_stream_to_table_patch_mode_across_epochs(spark, tmp_path):
     assert got[("r1", "a")] == ("v2", "en", 5)   # lang survived the patch
     assert got[("r1", "b")] == ("w1", "de", 2)
     assert len(t.snapshots()) >= 2               # really crossed epochs
+
+
+def _state(df):
+    live = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    return {(r.repo, r.path): (r.content, r.lang, r._lsn, r._content_sha256)
+            for r in live.collect()}
+
+
+def test_patch_mor_read_equals_cow_fold(spark, tmp_path):
+    """apply_batch(image='patch', mode='mor') writes patch delta layers;
+    table.read's per-column commit-order fold must equal the CoW
+    sequential merge_patches fold over the same batches — including a
+    stale whole batch (loses the lsn guard), delete-then-resurrect, and a
+    patch creating a brand-new key."""
+    from cdc.pipeline import apply_batch
+    from cdc.table.table import CdcTable
+
+    batches = [
+        [("r1", "a", 1, "v1", "en", "U"), ("r1", "b", 2, "w1", None, "U")],
+        [("r1", "a", 10, None, "fr", "U"),      # lang-only patch
+         ("r9", "new", 11, None, "nn", "U")],   # patch creates a key
+        [("r1", "b", 12, None, None, "D")],     # delete
+        [("r1", "a", 3, "stale", "de", "U")],   # whole batch loses (3 < 10)
+        [("r1", "b", 13, None, "it", "U")],     # resurrect from NULL state
+    ]
+    cow = CdcTable(str(tmp_path / "cow"), n_partitions=4, layout="key_hash")
+    mor = CdcTable(str(tmp_path / "mor"), n_partitions=4, layout="key_hash")
+    for i, rows in enumerate(batches):
+        for t, mode in ((cow, "cow"), (mor, "mor")):
+            apply_batch(spark, t, ev(spark, rows), f"b{i}",
+                        normalize=False, metrics=False, mode=mode,
+                        image="patch")
+    # the MOR table really holds uncompacted patch layers
+    assert any(f.get("kind") == "delta" and f.get("image") == "patch"
+               for f in mor.current_snapshot()["files"])
+    want = _state(cow.read(spark, include_deleted=True))
+    assert _state(mor.read(spark, include_deleted=True)) == want
+    assert want[("r1", "a")] == ("v1", "fr", 10, want[("r1", "a")][3])
+    assert want[("r1", "b")][:3] == (None, "it", 13)   # resurrected
+    assert want[("r9", "new")][:3] == (None, "nn", 11)
+
+    # compaction folds the patch layers through the same read path
+    from cdc.table.maintenance import compact
+    compact(spark, mor)
+    assert not any(f.get("kind") == "delta"
+                   for f in mor.current_snapshot()["files"])
+    assert _state(mor.read(spark, include_deleted=True)) == want
+
+    # a CoW merge onto remaining patch deltas folds them too (touched
+    # partitions rewrite through the reconciled read)
+    mor2 = CdcTable(str(tmp_path / "mor2"), n_partitions=4,
+                    layout="key_hash")
+    for i, rows in enumerate(batches[:2]):
+        apply_batch(spark, mor2, ev(spark, rows), f"b{i}",
+                    normalize=False, metrics=False, mode="mor",
+                    image="patch")
+    apply_batch(spark, mor2, ev(spark, [("r1", "a", 20, "vz", None, "U")]),
+                "cow-batch", normalize=False, metrics=False, image="patch")
+    got = _state(mor2.read(spark))
+    assert got[("r1", "a")][:3] == ("vz", "fr", 20)
+
+
+def test_patch_and_row_deltas_never_mix(spark, tmp_path):
+    from cdc.pipeline import apply_batch
+    from cdc.table.table import CdcTable
+    import pytest
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", "en", "U")]),
+                "b0", normalize=False, metrics=False, mode="mor",
+                image="patch")
+    with pytest.raises(ValueError, match="compact"):
+        apply_batch(spark, t, ev(spark, [("r1", "a", 2, "v2", "en", "U")]),
+                    "b1", normalize=False, metrics=False, mode="mor")
+    # the cdctable source refuses patch layers (its reconcile is row-level)
+    from cdc.spark_source import CdcBatchReader
+    with pytest.raises(ValueError, match="PATCH"):
+        CdcBatchReader(t.root, {"root": t.root}).partitions()
+    # after compaction both paths open up again
+    from cdc.table.maintenance import compact
+    compact(spark, t)
+    apply_batch(spark, t, ev(spark, [("r2", "b", 3, "w1", None, "U")]),
+                "b2", normalize=False, metrics=False, mode="mor")
+    assert CdcBatchReader(t.root, {"root": t.root}).partitions()
