@@ -51,6 +51,13 @@ Design (scale notes):
   source, re-shape the feed rows to events (_lsn→lsn, _deleted→op) and
   ``apply_batch`` into table B per epoch — exactly-once end to end via
   B's batch ledger (tests/test_datasource.py::test_replication_*).
+- PATCH-image delta commits (``apply_batch(image='patch', mode='mor')``)
+  stream through the tail as the collapsed patch rows themselves (NULL =
+  column untouched): a replication consumer must apply them with
+  ``image='patch'`` downstream to preserve semantics. Batch reads of an
+  uncompacted patch-MOR snapshot refuse (see ``CdcBatchReader``): the
+  file-local reconcile here is row-level; ``CdcTable.read`` carries the
+  per-column fold.
 """
 
 from __future__ import annotations

@@ -456,21 +456,22 @@ class CdcTable:
         # commit_delta refuses to mix the two kinds in one snapshot
         has_patch = any(f.get("kind") == "delta"
                         and f.get("image", "row") == "patch" for f in files)
-        if not files:
-            df = spark.createDataFrame([], target)
-        else:
-            # column mapping: files are read under their own recorded DDL,
-            # then their columns resolve to CURRENT names BY FIELD ID —
-            # renames/drops are metadata-only (alter.py). Files predating
-            # ids (or columns without one) fall back to name identity.
-            id_to_cur = {v: k for k, v in
-                         (snap.get("column_ids") or {}).items()}
+        # column mapping: files are read under their own recorded DDL,
+        # then their columns resolve to CURRENT names BY FIELD ID —
+        # renames/drops are metadata-only (alter.py). Files predating
+        # ids (or columns without one) fall back to name identity.
+        id_to_cur = {v: k for k, v in
+                     (snap.get("column_ids") or {}).items()}
+
+        def assemble(fset: list, with_layer: bool,
+                     with_patch: bool) -> DataFrame:
             by_ddl: dict[tuple, list[str]] = {}
-            for f in files:
+            for f in fset:
                 key = (f["columns"], tuple(f.get("ids") or ()),
                        f.get("kind") == "delta"
                        and f.get("image", "row") == "patch")
-                by_ddl.setdefault(key, []).append(os.path.join(self.root, f["path"]))
+                by_ddl.setdefault(key, []).append(
+                    os.path.join(self.root, f["path"]))
             dfs = []
             for (ddl, ids, is_patch), paths in sorted(by_ddl.items()):
                 d = spark.read.schema(ddl).parquet(*paths)
@@ -479,7 +480,7 @@ class CdcTable:
                            for n, i in zip(store.ddl_names(ddl), ids)
                            if i in id_to_cur]   # dropped ids project away
                     d = d.select(*sel)
-                if has_delta:
+                if with_layer:
                     # layer ordinal = snapshot id baked into the staging dir
                     # name; computed at scan time (input_file_name is only
                     # valid inside the scan stage, before any shuffle).
@@ -487,39 +488,63 @@ class CdcTable:
                     # 'snap-<digits>' must not shadow the layer id
                     d = d.withColumn("_layer", F.regexp_extract(
                         F.input_file_name(), r"data/snap-(\d+)[^/]*/", 1).cast("long"))
-                    if has_patch:
+                    if with_patch:
                         d = d.withColumn("_is_patch", F.lit(bool(is_patch)))
                 dfs.append(d)
-            df = dfs[0]
+            out = dfs[0]
             for d in dfs[1:]:
-                df = df.unionByName(d, allowMissingColumns=True)
+                out = out.unionByName(d, allowMissingColumns=True)
             # a column added by ALTER (no file carries it yet) reads as
             # typed NULL until a commit writes it
-            cols = [(F.col(f.name) if f.name in df.columns
+            cols = [(F.col(f.name) if f.name in out.columns
                      else F.lit(None)).cast(f.dataType).alias(f.name)
                     for f in target.fields]
-            if has_delta:
+            if with_layer:
                 cols.append(F.col("_layer"))
-                if has_patch:
+                if with_patch:
                     cols.append(F.col("_is_patch"))
-            df = df.select(*cols)
-        if has_delta and has_patch:
-            # patch-image merge-on-read reconcile: per key, fold base +
-            # patch layers in COMMIT ORDER with merge_patches' exact
-            # semantics (>= lsn guard, per-column coalesce, delete resets)
-            from cdc.patch import patch_reconcile
-            df = patch_reconcile(df, keys=self.key_cols)
+            return out.select(*cols)
+
+        if not files:
+            df = spark.createDataFrame([], target)
         elif has_delta:
-            # merge-on-read reconcile: several layers may carry the same key
-            # (base + delta commits); highest _lsn wins — identical to the
-            # write-side MERGE guard, paid at read time. Equal-_lsn ties
-            # across layers (same-lsn tombstone vs update in different delta
-            # commits) resolve deterministically in COMMIT ORDER via the
-            # _layer ordinal, matching CoW's batch-wins (>=) semantics.
-            from cdc.dedup import last_writer_wins
-            df = last_writer_wins(df, keys=self.key_cols,
-                                  order=("_lsn", "_layer"), via="maxby")
-            df = df.drop("_layer")
+            # merge-on-read reconcile, scoped to the DELTA-CARRYING
+            # partitions only: the partition function is a pure function of
+            # the key, so a key in a clean partition cannot have delta rows
+            # elsewhere — clean partitions stream through scan-only while
+            # only the churned partitions pay the reconcile shuffle. At
+            # 100 TB a table with one fresh delta partition reconciles
+            # O(that partition), not O(table). Plan-pinned by
+            # tests/test_plans.py::test_mor_reconcile_scoped_to_delta_parts.
+            delta_parts = {int(f["part"]) for f in files
+                           if f.get("kind") == "delta"}
+            dirty = [f for f in files if int(f["part"]) in delta_parts]
+            clean = [f for f in files if int(f["part"]) not in delta_parts]
+            df = assemble(dirty, with_layer=True, with_patch=has_patch)
+            if has_patch:
+                # patch-image reconcile: per key, fold base + patch layers
+                # in COMMIT ORDER with merge_patches' exact semantics
+                # (>= lsn guard, per-column coalesce, delete resets)
+                from cdc.patch import patch_reconcile
+                df = patch_reconcile(df, keys=self.key_cols)
+            else:
+                # several layers may carry the same key (base + delta
+                # commits); highest _lsn wins — identical to the write-side
+                # MERGE guard, paid at read time. Equal-_lsn ties across
+                # layers (same-lsn tombstone vs update in different delta
+                # commits) resolve deterministically in COMMIT ORDER via the
+                # _layer ordinal, matching CoW's batch-wins (>=) semantics.
+                from cdc.dedup import last_writer_wins
+                df = last_writer_wins(df, keys=self.key_cols,
+                                      order=("_lsn", "_layer"), via="maxby")
+                df = df.drop("_layer")
+            if clean:
+                df = df.unionByName(assemble(clean, with_layer=False,
+                                             with_patch=False))
+            # reconcile outputs keys-first; restore the snapshot order
+            df = df.select(*[f.name for f in target.fields])
+        else:
+            df = assemble(files, with_layer=False, with_patch=False)
         if not include_deleted and "_deleted" in df.columns:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df.withColumn(PART_COL, self.part_of())

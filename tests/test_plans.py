@@ -209,3 +209,57 @@ def test_metrics_approx_dedup_has_no_batch_shuffle(spark, log_dir):
         assert ea[k]["lsn_high"] == ee[k]["lsn_high"]
         # HLL standard error ~2.3%; allow 10% on the distinct estimate
         assert abs(ea[k]["n_events"] - ee[k]["n_events"]) <= max(5, 0.1 * ee[k]["n_events"])
+
+
+def test_mor_reconcile_scoped_to_delta_parts(spark, tmp_path, monkeypatch):
+    """A snapshot where only SOME partitions carry delta layers must pay
+    the reconcile shuffle for THOSE partitions only: clean partitions
+    stream scan-only through a union. Pinned by capturing the frame the
+    reconcile actually consumes — its input files must be exactly the
+    delta-carrying partitions' files."""
+    from cdc import dedup
+    from cdc.pipeline import apply_batch
+    from cdc.table.table import CdcTable
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=8, layout="key_hash")
+    rows = [(f"r{i}", f"p{i}", i + 1, f"v{i}", "U") for i in range(64)]
+    base = (spark.createDataFrame(
+                rows, "repo string, path string, lsn long, "
+                      "content string, op string")
+            .select("*", F.to_timestamp(F.lit("2026-01-01")).alias("ts"),
+                    F.lit(0).alias("batch_id")))
+    apply_batch(spark, t, base, "b0", normalize=False, metrics=False)
+    # one small MOR batch touches a subset of partitions
+    delta = base.filter(F.col("lsn") <= 4).select(
+        "repo", "path", (F.col("lsn") + 100).alias("lsn"),
+        F.concat(F.col("content"), F.lit("+d")).alias("content"),
+        "op", "ts", "batch_id")
+    apply_batch(spark, t, delta, "b1", normalize=False, metrics=False,
+                mode="mor")
+
+    snap = t.current_snapshot()
+    delta_parts = {int(f["part"]) for f in snap["files"]
+                   if f.get("kind") == "delta"}
+    assert 0 < len(delta_parts) < 8          # a genuine subset
+    dirty_files = {f["path"].split("/")[-1] for f in snap["files"]
+                   if int(f["part"]) in delta_parts}
+    clean_files = {f["path"].split("/")[-1] for f in snap["files"]
+                   if int(f["part"]) not in delta_parts}
+    assert clean_files
+
+    seen: dict = {}
+    orig = dedup.last_writer_wins
+
+    def capturing(df, *a, **kw):
+        seen["files"] = {p.split("/")[-1] for p in df.inputFiles()}
+        return orig(df, *a, **kw)
+
+    monkeypatch.setattr(dedup, "last_writer_wins", capturing)
+    out = t.read(spark)
+    got = {(r.repo, r.path): r.content for r in out.collect()}
+    # the reconcile consumed ONLY the delta partitions' files
+    assert seen["files"] == dirty_files
+    assert not (seen["files"] & clean_files)
+    # and the result is still the full, correct table state
+    assert len(got) == 64
+    assert got[("r0", "p0")] == "v0+d" and got[("r63", "p63")] == "v63"
