@@ -150,7 +150,16 @@ def main() -> None:
     rows = "\n".join(
         f"| local[{c}] | {results[c]['cold_sec']} | {results[c]['steady_sec']} "
         f"| {results[c]['events_per_sec']:,} |" for c in CORES)
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # preserve sections other rounds appended (e.g. the bench-suite
+    # adjudication): everything from the first "## " heading onward
+    extra = ""
+    bench_path = os.path.join(REPO, "BENCH.md")
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            extra = old[idx:]
+    with open(bench_path, "w") as f:
         f.write(f"""# BENCH — scaling evidence (N vs 4N)
 
 North rule criterion: throughput scaling efficiency >= 0.8 between N and 4N
@@ -177,7 +186,7 @@ Threshold 0.8 -> {"PASS" if e28 >= 0.8 else "FAIL"} on the N->4N pair measured
 below the hardware ceiling.
 
 Reproduce: `python scripts/scaling_bench.py --keys {args.keys} --reps {args.reps}`
-""")
+""" + extra)
 
 
 if __name__ == "__main__":
