@@ -212,7 +212,9 @@ def _mor_batches(files: list, target, include_deleted: bool,
 class CdcTableDataSource(DataSource):
     """See module docstring. Options: ``root`` (required),
     ``snapshot_id`` (batch time travel), ``include_deleted``,
-    ``start`` = 'earliest' (default) | 'latest' (streaming)."""
+    ``start`` = 'earliest' (default) | 'latest' | a snapshot id
+    (streaming: begin AFTER that snapshot — the startingVersion
+    analog)."""
 
     @classmethod
     def name(cls) -> str:
@@ -418,6 +420,25 @@ class CdcStreamReader(DataSourceStreamReader):
         if self._start == "latest":
             snap = self._current()
             sid = snap["snapshot_id"] if snap else 0
+        elif self._start.isdigit():
+            # start AFTER a specific snapshot (the startingVersion analog):
+            # the first microbatch emits the commits following it. Validated
+            # so a typo'd id fails loudly instead of silently replaying from
+            # a wrong horizon (0 = from the beginning, always valid).
+            from cdc.meta import store
+
+            sid = int(self._start)
+            if sid:
+                try:
+                    store.read_snapshot(self._root, sid)
+                except Exception as e:
+                    raise ValueError(
+                        f"start snapshot {sid} does not exist at "
+                        f"{self._root} (expired or never committed)") from e
+        elif self._start != "earliest":
+            raise ValueError(
+                f"start must be 'earliest', 'latest' or a snapshot id, "
+                f"got {self._start!r}")
         else:
             sid = 0
         self._observe(sid)

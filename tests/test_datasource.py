@@ -130,6 +130,23 @@ def test_stream_reader_offset_ranges(spark, table):
         r.partitions({"snapshot_id": 0}, {"snapshot_id": 6})
 
 
+def test_stream_start_at_snapshot_id(spark, table):
+    """start=<snapshot id> begins the tail AFTER that snapshot (the
+    startingVersion analog); bogus ids fail loudly."""
+    r = CdcStreamReader(table.root, {"root": table.root, "start": "2"})
+    assert r.initialOffset() == {"snapshot_id": 2}
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    rows = [row for p in parts for b in r.read(p) for row in b.to_pylist()]
+    assert sorted((x["repo"], x["path"], x["_lsn"]) for x in rows) == \
+        [("r2", "b", 9)]                        # only commit 3's change
+    with pytest.raises(ValueError, match="does not exist"):
+        CdcStreamReader(table.root,
+                        {"root": table.root, "start": "99"}).initialOffset()
+    with pytest.raises(ValueError, match="start must be"):
+        CdcStreamReader(table.root,
+                        {"root": table.root, "start": "bogus"}).initialOffset()
+
+
 def test_stream_backpressure_caps_commits_per_trigger(spark, table):
     """maxSnapshotsPerTrigger paces latestOffset: each trigger advances at
     most N commits past the last observed offset, landing on REAL chain
