@@ -55,9 +55,9 @@ Design (scale notes):
   stream through the tail as the collapsed patch rows themselves (NULL =
   column untouched): a replication consumer must apply them with
   ``image='patch'`` downstream to preserve semantics. Batch reads of an
-  uncompacted patch-MOR snapshot refuse (see ``CdcBatchReader``): the
-  file-local reconcile here is row-level; ``CdcTable.read`` carries the
-  per-column fold.
+  uncompacted patch-MOR snapshot reconcile per part with the per-column
+  commit-order fold (``_patch_mor_batches`` — the arrow mirror of
+  ``cdc.patch.patch_reconcile``).
 """
 
 from __future__ import annotations
@@ -209,6 +209,103 @@ def _mor_batches(files: list, target, include_deleted: bool,
     yield from pa.table(cols, schema=target).to_batches()
 
 
+def _patch_mor_batches(files: list, target, include_deleted: bool,
+                       commit_id: int, key_cols: tuple) -> Iterator:
+    """Patch-image twin of ``_mor_batches``: fold ONE table partition's
+    base + patch layers per key IN COMMIT ORDER with ``merge_patches``'
+    exact semantics (>= row-lsn guard, per-column coalesce, delete resets,
+    patch-after-delete resurrects) — the arrow-side mirror of
+    ``cdc.patch.patch_reconcile``. ``files`` =
+    [(path, layer, colmap, is_patch), ...].
+
+    A plain per-key python fold over the part's rows: this source is the
+    compatibility read surface (one part per task, patch layers are
+    batch-sized); the scale path for heavy patch-MOR reads is
+    ``CdcTable.read``'s codegen fold."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    sys_cols = ("_lsn", "_updated_ts", "_content_sha256", "_deleted")
+    data_fields = [f for f in target if f.name != "_commit_snapshot"]
+    value_cols = [f.name for f in data_fields
+                  if f.name not in key_cols and f.name not in sys_cols]
+    data_schema = pa.schema(data_fields)
+    tabs = []
+    for path, layer, colmap, is_patch in sorted(files, key=lambda x: x[1]):
+        t = pq.read_table(path)
+        if colmap is not None:
+            t = t.select([src for src, _ in colmap]).rename_columns(
+                [out for _, out in colmap])
+        cols = []
+        for field in data_fields:
+            if field.name in t.column_names:
+                cols.append(t[field.name].cast(field.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, type=field.type))
+        tab = pa.table(cols, schema=data_schema)
+        tab = tab.append_column("_layer", pa.array([layer] * tab.num_rows,
+                                                   type=pa.int64()))
+        tabs.append(tab.append_column(
+            "_is_patch", pa.array([is_patch] * tab.num_rows)))
+    t = pa.concat_tables(tabs)
+    order = [(k, "ascending") for k in key_cols] + [("_layer", "ascending")]
+    t = t.take(pc.sort_indices(t, sort_keys=order))
+    rows = t.to_pylist()
+
+    out: list[dict] = []
+
+    def flush(key, acc):
+        if acc is None:
+            return
+        row = dict(zip(key_cols, key))
+        row.update({c: acc["vals"][c] for c in value_cols})
+        row["_lsn"] = acc["lsn"]
+        row["_updated_ts"] = acc["ts"]
+        content = acc["vals"].get("content")
+        row["_content_sha256"] = (
+            hashlib.sha256(content.encode()).hexdigest()
+            if not acc["deleted"] and isinstance(content, str) else None)
+        row["_deleted"] = acc["deleted"]
+        out.append(row)
+
+    cur_key, acc = None, None
+    for x in rows:
+        key = tuple(x[k] for k in key_cols)
+        if key != cur_key:
+            flush(cur_key, acc)
+            cur_key, acc = key, None
+        lsn = x["_lsn"] if x["_lsn"] is not None else -1
+        if acc is not None and lsn < acc["lsn"]:
+            continue                      # loses the >= lsn guard
+        if x["_deleted"]:
+            acc = {"lsn": lsn, "ts": x["_updated_ts"], "deleted": True,
+                   "vals": {c: None for c in value_cols}}
+        elif x["_is_patch"]:
+            prev = acc["vals"] if acc is not None else \
+                {c: None for c in value_cols}
+            acc = {"lsn": lsn, "ts": x["_updated_ts"], "deleted": False,
+                   "vals": {c: (x[c] if x[c] is not None else prev[c])
+                            for c in value_cols}}
+        else:                             # full image replaces the row
+            acc = {"lsn": lsn, "ts": x["_updated_ts"], "deleted": False,
+                   "vals": {c: x[c] for c in value_cols}}
+    flush(cur_key, acc)
+
+    if not include_deleted:
+        out = [r for r in out if not r["_deleted"]]
+    arrays = []
+    for field in target:
+        if field.name == "_commit_snapshot":
+            arrays.append(pa.array([commit_id] * len(out), type=pa.int64()))
+        else:
+            arrays.append(pa.array([r[field.name] for r in out],
+                                   type=field.type))
+    yield from pa.table(arrays, schema=target).to_batches()
+
+
 class CdcTableDataSource(DataSource):
     """See module docstring. Options: ``root`` (required),
     ``snapshot_id`` (batch time travel), ``include_deleted``,
@@ -288,13 +385,11 @@ class CdcBatchReader(DataSourceReader):
         files = self._snap["files"]
         delta_parts = {int(f["part"]) for f in files
                        if f.get("kind") == "delta"}
+        # patch- and row-image delta kinds never mix in one uncompacted
+        # snapshot (commit_delta refuses), so this is a snapshot-wide flag
+        has_patch = any(f.get("kind") == "delta"
+                        and f.get("image", "row") == "patch" for f in files)
         if delta_parts:
-            if any(f.get("kind") == "delta"
-                   and f.get("image", "row") == "patch" for f in files):
-                raise ValueError(
-                    "snapshot has PATCH-image delta layers — the cdctable "
-                    "source's file-local reconcile is row-level; compact "
-                    "first or read via CdcTable.read (patch fold)")
             # MOR reconcile is file-local ONLY when the partition function
             # is a pure function of the key (all this engine's layouts hash
             # key columns) — which needs the recorded key columns
@@ -316,14 +411,17 @@ class CdcBatchReader(DataSourceReader):
                 # CdcTable.read(prune=))
                 m = re.search(r"data/snap-(\d+)[^/]*/", f["path"])
                 layer = int(m.group(1)) if m else 0
-                by_part.setdefault(part, []).append(
-                    (os.path.join(self._root, f["path"]), layer,
-                     _column_map(self._snap, f)))
+                entry = (os.path.join(self._root, f["path"]), layer,
+                         _column_map(self._snap, f))
+                if has_patch:
+                    entry += (f.get("kind") == "delta",)  # is_patch flag
+                by_part.setdefault(part, []).append(entry)
             elif self._keep(f):
                 out.append(InputPartition(
                     ("file", os.path.join(self._root, f["path"]), sid,
                      _column_map(self._snap, f))))
-        out.extend(InputPartition(("mor", by_part[p], sid, key_cols))
+        kind = "mor_patch" if has_patch else "mor"
+        out.extend(InputPartition((kind, by_part[p], sid, key_cols))
                    for p in sorted(by_part))
         return out
 
@@ -333,6 +431,11 @@ class CdcBatchReader(DataSourceReader):
             _, files, sid, key_cols = partition.value
             yield from _mor_batches(files, self._target,
                                     self._include_deleted, sid, key_cols)
+        elif kind == "mor_patch":
+            _, files, sid, key_cols = partition.value
+            yield from _patch_mor_batches(files, self._target,
+                                          self._include_deleted, sid,
+                                          key_cols)
         else:
             _, path, sid, colmap = partition.value
             yield from _aligned_batches(path, self._target, None,

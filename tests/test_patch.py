@@ -221,13 +221,62 @@ def test_patch_and_row_deltas_never_mix(spark, tmp_path):
     with pytest.raises(ValueError, match="compact"):
         apply_batch(spark, t, ev(spark, [("r1", "a", 2, "v2", "en", "U")]),
                     "b1", normalize=False, metrics=False, mode="mor")
-    # the cdctable source refuses patch layers (its reconcile is row-level)
-    from cdc.spark_source import CdcBatchReader
-    with pytest.raises(ValueError, match="PATCH"):
-        CdcBatchReader(t.root, {"root": t.root}).partitions()
-    # after compaction both paths open up again
+    # after compaction the other kind lands again
     from cdc.table.maintenance import compact
     compact(spark, t)
     apply_batch(spark, t, ev(spark, [("r2", "b", 3, "w1", None, "U")]),
                 "b2", normalize=False, metrics=False, mode="mor")
+    from cdc.spark_source import CdcBatchReader
     assert CdcBatchReader(t.root, {"root": t.root}).partitions()
+
+
+def test_patch_mor_reads_through_datasource(spark, tmp_path):
+    """The cdctable batch source reconciles UNCOMPACTED patch-MOR
+    snapshots with the per-column commit-order fold — byte-identical to
+    CdcTable.read (stale batch, delete, resurrect, new-key-via-patch,
+    multi-layer coalesce all covered by the batch mix)."""
+    from cdc.pipeline import apply_batch
+    from cdc.spark_source import CdcTableDataSource
+    from cdc.table.table import CdcTable
+
+    spark.dataSource.register(CdcTableDataSource)
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    batches = [
+        [("r1", "a", 1, "v1", "en", "U"), ("r1", "b", 2, "w1", None, "U")],
+        [("r1", "a", 10, None, "fr", "U"), ("r9", "new", 11, None, "nn", "U")],
+        [("r1", "b", 12, None, None, "D")],
+        [("r1", "a", 3, "stale", "de", "U")],
+        [("r1", "b", 13, None, "it", "U")],
+    ]
+    for i, rows in enumerate(batches):
+        apply_batch(spark, t, ev(spark, rows), f"b{i}",
+                    normalize=False, metrics=False, mode="mor",
+                    image="patch")
+    assert any(f.get("image") == "patch"
+               for f in t.current_snapshot()["files"])
+
+    def snap_of(df):
+        return {(r.repo, r.path): (r.content, r.lang, r._lsn,
+                                   r._content_sha256, bool(r._deleted))
+                for r in df.collect()}
+
+    got = snap_of(spark.read.format("cdctable")
+                  .option("root", t.root).load())
+    want = snap_of(t.read(spark).drop("part"))
+    assert got == want
+    assert got[("r1", "a")][:3] == ("v1", "fr", 10)
+    assert got[("r1", "b")][:3] == (None, "it", 13)     # resurrected
+    # tombstone-winner visibility parity too
+    t2 = CdcTable(str(tmp_path / "t2"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t2, ev(spark, [("r1", "a", 1, "v1", "en", "U")]),
+                "b0", normalize=False, metrics=False, mode="mor",
+                image="patch")
+    apply_batch(spark, t2, ev(spark, [("r1", "a", 2, None, None, "D")]),
+                "b1", normalize=False, metrics=False, mode="mor",
+                image="patch")
+    dd = (spark.read.format("cdctable").option("root", t2.root)
+          .option("include_deleted", "true").load())
+    assert snap_of(dd) == snap_of(t2.read(spark, include_deleted=True)
+                                  .drop("part"))
+    assert (spark.read.format("cdctable").option("root", t2.root)
+            .load().count() == 0)
