@@ -280,3 +280,60 @@ def test_patch_mor_reads_through_datasource(spark, tmp_path):
                                   .drop("part"))
     assert (spark.read.format("cdctable").option("root", t2.root)
             .load().count() == 0)
+
+
+# -- property: patch-MOR read fold == sequential CoW fold ---------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PEV = st.tuples(st.sampled_from(["a", "b", "c"]),
+                 st.sampled_from(["content", "lang", "both", "delete"]),
+                 st.text(alphabet="xy", min_size=1, max_size=2))
+_PBATCHES = st.lists(st.lists(_PEV, min_size=1, max_size=4),
+                     min_size=1, max_size=4)
+
+
+@given(batches=_PBATCHES)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_patch_mor_equals_cow_fold_property(spark, tmp_path, batches):
+    """For ANY mix of patch batches (content-only / lang-only / both /
+    delete per event), the uncompacted patch-MOR read fold must equal the
+    sequential CoW merge_patches fold — the two implementations of the
+    same semantics, driven by random histories."""
+    import tempfile
+
+    from cdc.pipeline import apply_batch
+    from cdc.table.table import CdcTable
+
+    lsn = 0
+
+    def to_rows(events):
+        nonlocal lsn
+        rows = []
+        for key, kind, val in events:
+            lsn += 1
+            rows.append(("r", key, lsn,
+                         val if kind in ("content", "both") else None,
+                         val if kind in ("lang", "both") else None,
+                         "D" if kind == "delete" else "U"))
+        return rows
+
+    work = tempfile.mkdtemp(dir=tmp_path)
+    cow = CdcTable(f"{work}/cow", n_partitions=4, layout="key_hash")
+    mor = CdcTable(f"{work}/mor", n_partitions=4, layout="key_hash")
+    for i, events in enumerate(batches):
+        rows = to_rows(events)
+        for t, mode in ((cow, "cow"), (mor, "mor")):
+            apply_batch(spark, t, ev(spark, rows), f"b{i}",
+                        normalize=False, metrics=False, mode=mode,
+                        image="patch")
+
+    def state(t):
+        df = t.read(spark, include_deleted=True)
+        return {(r.repo, r.path): (r.content, r.lang, r._lsn,
+                                   r._content_sha256, bool(r._deleted))
+                for r in df.collect()}
+    assert state(mor) == state(cow)
