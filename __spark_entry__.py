@@ -64,7 +64,7 @@ _DRIVER_WINDOW = [
     "j2_broadcast_lookup", "j3_left_anti", "j4_left_semi", "j5_asof_state",
     "j6_range_join", "j7_self_join_batches", "j8_merge_into_clauses",
     # aggregates / windows / sets
-    "a1_lineage_metrics", "a3_approx_distinct", "u2_except",
+    "a1_lineage_metrics", "a3_approx_distinct", "dedup_groups",
     "w2_lag_transitions", "w4_ntile_deciles", "o3_topk_hot",
     # streaming-shape + functions
     "t4_session_window", "f1_sha256_invariant", "a10_patch_mor_lww",

@@ -203,20 +203,11 @@ _BAND_SQL = " UNION ALL ".join(
     for b in range(LSH_BANDS))
 
 
-@q("dedup_minhash_lsh", _SHINGLE_SQL + f""",
-sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
-bands AS ({_BAND_SQL})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-WHERE a.doc_id < b.doc_id
-""")
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH near-dup candidates: shingle -> K seeded md5 minhashes
-    -> banded bucket hash -> equi-self-join on (band, bucket).
-
-    The scale path: cost is linear in corpus size + bucket-join fan-out;
-    never all-pairs."""
-    c = _corpus(spark, sf_dir)
+def minhash_pairs(c) -> DataFrame:
+    """MinHash + LSH candidate pairs (doc_a, doc_b) from a (doc_id, text)
+    corpus: shingle -> K seeded md5 minhashes -> banded bucket hash ->
+    equi-self-join on (band, bucket). Linear in corpus size + bucket
+    fan-out — never all-pairs."""
     sh = _shingles(c)
     r = N_MINHASH // LSH_BANDS
     sig = sh.groupBy("doc_id").agg(*[
@@ -239,6 +230,22 @@ def dedup_minhash_lsh(spark, sf_dir):
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .distinct())
+
+
+@q("dedup_minhash_lsh", _SHINGLE_SQL + f""",
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+""")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH near-dup candidates: shingle -> K seeded md5 minhashes
+    -> banded bucket hash -> equi-self-join on (band, bucket).
+
+    The scale path: cost is linear in corpus size + bucket-join fan-out;
+    never all-pairs."""
+    return minhash_pairs(_corpus(spark, sf_dir))
 
 
 def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
@@ -526,3 +533,67 @@ def txt_decontaminate(spark, sf_dir):
             .join(F.broadcast(bench), "shingle")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+_CC_MINHASH = ", ".join(
+    f"min(md5('{k}:' || shingle)) AS mh{k}" for k in range(N_MINHASH))
+_CC_BANDS = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig".format(
+        b=b, cols=" || ".join(
+            f"mh{k}" for k in range(b * (N_MINHASH // LSH_BANDS),
+                                    (b + 1) * (N_MINHASH // LSH_BANDS))))
+    for b in range(LSH_BANDS))
+
+
+@q("dedup_groups", f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0
+),
+w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) g
+),
+sig AS (SELECT doc_id, {_CC_MINHASH} FROM sh GROUP BY doc_id),
+bands AS ({_CC_BANDS}),
+edges AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT a AS id, a AS r FROM und
+  UNION
+  SELECT u.b AS id, reach.r FROM reach JOIN und u ON u.a = reach.id
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
+FROM reach GROUP BY id
+""")
+def dedup_groups(spark, sf_dir):
+    """Transitive near-dup GROUPS — the keeper-selection step a real
+    dedup pipeline needs after pair generation: LSH candidate pairs chain
+    (a~b, b~c => one group), so components, not pairs, decide keepers.
+    Corpus injects TWO copies of every doc_id % 100 == 0 doc (3-member
+    groups) and one copy of the other % 50 == 0 docs (2-member groups);
+    edges come from the same banded MinHash join as ``dedup_minhash_lsh``
+    and components from ``cdc.cc.connected_components`` (iterative
+    min-label propagation: one equi-join + one groupBy-min per round,
+    rounds = graph diameter — 1–2 for dup near-cliques; the
+    large-star/small-star form is the documented long-chain escalation).
+    The oracle recomputes the closure with a recursive CTE."""
+    from cdc.cc import connected_components
+
+    d = _docs(spark, sf_dir)
+    c = (d.unionByName(d.filter(F.col("doc_id") % 50 == 0)
+                        .withColumn("doc_id", F.col("doc_id") + 100000))
+          .unionByName(d.filter(F.col("doc_id") % 100 == 0)
+                        .withColumn("doc_id", F.col("doc_id") + 200000)))
+    comp = connected_components(minhash_pairs(c), src="doc_a", dst="doc_b")
+    return comp.select(F.col("id").alias("doc_id"),
+                       F.col("grp").cast("long").alias("group_id"))

@@ -452,3 +452,22 @@ def test_exact_ntile_hot_value_range_split(spark):
     exp = {r.user_id: r.nt for r in counts.withColumn(
         "nt", F.ntile(10).over(W.orderBy(F.desc("n"), F.asc("user_id")))).collect()}
     assert got == exp
+
+
+def test_connected_components_and_keepers(spark):
+    from cdc.cc import connected_components, dedup_keepers
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),    # chain of 5 -> group 1
+         (10, 11), (11, 12), (10, 12),      # triangle -> group 10
+         (20, 21)],                         # pair -> group 20
+        "src long, dst long")
+    comp = {r.id: r.grp for r in
+            connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    keep = {r.group_id: (r.keeper, r.n_members) for r in
+            dedup_keepers(connected_components(edges)).collect()}
+    assert keep == {1: (1, 5), 10: (10, 3), 20: (20, 2)}
+    # a diameter-4 chain must not converge in 1 round
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1).collect()
