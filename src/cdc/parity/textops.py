@@ -597,3 +597,45 @@ def dedup_groups(spark, sf_dir):
     comp = connected_components(minhash_pairs(c), src="doc_a", dst="doc_b")
     return comp.select(F.col("id").alias("doc_id"),
                        F.col("grp").cast("long").alias("group_id"))
+
+
+@q("txt_repetition", """
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) t
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+       round(1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 4)
+         AS dup_ratio,
+       CASE WHEN 1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*) > 0.5
+            THEN true ELSE false END AS is_repetitive
+FROM g GROUP BY doc_id
+""")
+def txt_repetition(spark, sf_dir):
+    """Repetition filter (the Gopher/RefinedWeb duplicate-n-gram signal):
+    per doc, the fraction of 3-gram occurrences that are repeats of an
+    earlier gram — boilerplate and looped generations score high. One
+    explode + one count/count-distinct aggregate, map-side combinable;
+    docs shorter than 3 words have no grams and drop out (same as the
+    oracle's empty generate_series)."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), " ")
+    idx = F.when(F.size(words) >= 3,
+                 F.sequence(F.lit(0), F.size(words) - 3)
+                 ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(words, (i + k + 1).cast("int"))
+               for k in range(3)]))
+    g = d.select("doc_id", F.explode(gram).alias("gram"))
+    agg = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"))
+    dup = F.round(1.0 - F.col("n_distinct").cast("double")
+                  / F.col("n_grams"), 4)
+    return agg.select(
+        "doc_id", "n_grams", "n_distinct", dup.alias("dup_ratio"),
+        ((1.0 - F.col("n_distinct").cast("double") / F.col("n_grams"))
+         > 0.5).alias("is_repetitive"))
