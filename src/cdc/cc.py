@@ -33,7 +33,11 @@ def connected_components(edges: DataFrame, src: str = "src",
     und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionAll(edges.select(F.col(dst).alias("a"),
                                   F.col(src).alias("b")))
-           .distinct())
+           .distinct()
+           # the edge list is consumed EVERY round (join + convergence
+           # count) — persist it so an expensive upstream (the MinHash
+           # pipeline) runs once, not 2x per round
+           .persist())
     labels = (und.select(F.col("a").alias("id")).distinct()
               .withColumn("grp", F.col("id")))
     labels = labels.persist()
@@ -55,13 +59,20 @@ def connected_components(edges: DataFrame, src: str = "src",
             labels.unpersist()
             labels = new
             if changed == 0:
-                return labels.select(F.col("id"), F.col("grp"))
+                # cut the per-round lineage chain before the caches are
+                # released below — otherwise the caller's first action
+                # recomputes every round from the raw edges. localCheckpoint
+                # keeps the materialized blocks (executor-local; use a
+                # reliable checkpoint dir instead under dynamic allocation).
+                return (labels.select(F.col("id"), F.col("grp"))
+                        .localCheckpoint(eager=True))
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"(graph diameter exceeds max_iter) — raise max_iter or use a "
             f"large-star/small-star implementation for this graph")
     finally:
         labels.unpersist()
+        und.unpersist()
 
 
 def dedup_keepers(components: DataFrame) -> DataFrame:
