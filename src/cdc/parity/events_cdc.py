@@ -276,7 +276,7 @@ def a1_lineage_metrics(spark, sf_dir):
 
 @q("a3_approx_distinct", """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-       true AS hll_within_5pct
+       true AS hll_within_15pct
 FROM events GROUP BY event_type
 """)
 def a3_approx_distinct(spark, sf_dir):
@@ -284,8 +284,11 @@ def a3_approx_distinct(spark, sf_dir):
     metrics. The sketch estimate itself can't hash-match another engine,
     so the query carries its own TOLERANCE oracle: the exact per-group
     distinct (hash-compared against DuckDB) plus a boolean asserting the
-    HLL estimate landed within ±5% of it (rsd default 0.05; deterministic
-    for fixed data) — the oracle expects TRUE for every group."""
+    HLL estimate landed within ±15% = 3x the default rsd (0.05 is ONE
+    relative standard deviation — a 5% band would fail ~1 group in 3 on
+    arbitrary data; 3 sigma holds for any fixture regeneration). The
+    estimate is deterministic for fixed data; the oracle expects TRUE for
+    every group."""
     ev = _events(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx"),
@@ -293,7 +296,7 @@ def a3_approx_distinct(spark, sf_dir):
     return agg.select(
         "event_type", "exact_users",
         (F.abs(F.col("approx") - F.col("exact_users"))
-         <= 0.05 * F.col("exact_users")).alias("hll_within_5pct"))
+         <= 0.15 * F.col("exact_users")).alias("hll_within_15pct"))
 
 
 @q("a5_rollup", """

@@ -249,18 +249,18 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
-                        max_rows: int | None = None) -> DataFrame:
+                        max_rows: int | None = -1) -> DataFrame:
     """Exact n-gram Jaccard pairs from a (doc_id, shingle) frame — the
     QUADRATIC-per-shingle-bucket verification twin of the MinHash+LSH
-    candidate generator above. ``max_rows`` (default: the shared
-    QUADRATIC_MAX_ROWS bound) fails fast on big corpora, counted in
-    DISTINCT documents."""
+    candidate generator above. ``max_rows`` fails fast on big corpora,
+    counted in DISTINCT documents; same convention as ``cdc.vectors``:
+    default = the shared QUADRATIC_MAX_ROWS bound, ``None`` forces
+    through."""
     from cdc.vectors import QUADRATIC_MAX_ROWS, guard_quadratic
-    if max_rows is None:
+    if max_rows == -1:
         max_rows = QUADRATIC_MAX_ROWS
     guard_quadratic(sh.select("doc_id").distinct(), "ngram_jaccard_pairs",
-                    "dedup_minhash_lsh (banded MinHash)",
-                    None if max_rows == 0 else max_rows)
+                    "dedup_minhash_lsh (banded MinHash)", max_rows)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -535,16 +535,6 @@ def txt_decontaminate(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_shared")))
 
 
-_CC_MINHASH = ", ".join(
-    f"min(md5('{k}:' || shingle)) AS mh{k}" for k in range(N_MINHASH))
-_CC_BANDS = " UNION ALL ".join(
-    "SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig".format(
-        b=b, cols=" || ".join(
-            f"mh{k}" for k in range(b * (N_MINHASH // LSH_BANDS),
-                                    (b + 1) * (N_MINHASH // LSH_BANDS))))
-    for b in range(LSH_BANDS))
-
-
 @q("dedup_groups", f"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents
@@ -559,8 +549,8 @@ sh AS (
          words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
   FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) g
 ),
-sig AS (SELECT doc_id, {_CC_MINHASH} FROM sh GROUP BY doc_id),
-bands AS ({_CC_BANDS}),
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SQL}),
 edges AS (
   SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket

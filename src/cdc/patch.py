@@ -178,7 +178,10 @@ def patch_reconcile(df: DataFrame, keys: Sequence[str] = KEY_COLS) -> DataFrame:
                 F.lit(True), _nulls())
 
     def step(acc, x):
-        wins = x["lsn"] >= acc["lsn"]
+        # NULL-lsn rows never win — merge_patches requires a non-null
+        # batch lsn (its batch_wins has _b_lsn.isNotNull()); an unguarded
+        # NULL >= comparison would fall through F.when and apply the row
+        wins = x["lsn"].isNotNull() & (x["lsn"] >= acc["lsn"])
         tomb = _acc(x["lsn"], x["ts"], F.lit(True), _nulls())
         patched = _acc(x["lsn"], x["ts"], F.lit(False),
                        [(c, F.coalesce(x[f"v_{c}"], acc[f"v_{c}"]))

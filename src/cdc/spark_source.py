@@ -277,7 +277,9 @@ def _patch_mor_batches(files: list, target, include_deleted: bool,
         if key != cur_key:
             flush(cur_key, acc)
             cur_key, acc = key, None
-        lsn = x["_lsn"] if x["_lsn"] is not None else -1
+        lsn = x["_lsn"]
+        if lsn is None:
+            continue    # NULL-lsn rows never win (merge_patches parity)
         if acc is not None and lsn < acc["lsn"]:
             continue                      # loses the >= lsn guard
         if x["_deleted"]:
@@ -526,18 +528,32 @@ class CdcStreamReader(DataSourceStreamReader):
         elif self._start.isdigit():
             # start AFTER a specific snapshot (the startingVersion analog):
             # the first microbatch emits the commits following it. Validated
-            # so a typo'd id fails loudly instead of silently replaying from
-            # a wrong horizon (0 = from the beginning, always valid).
+            # to be ON THE MAIN CHAIN — a merely-existing off-chain id (an
+            # abandoned WAP stage) would make partitions()' parent walk stop
+            # early and silently skip main-line commits (0 = from the
+            # beginning, always valid).
             from cdc.meta import store
 
             sid = int(self._start)
             if sid:
-                try:
-                    store.read_snapshot(self._root, sid)
-                except Exception as e:
+                cur = self._current()
+                on_chain, s = False, cur
+                while s is not None and s["snapshot_id"] > 0:
+                    if s["snapshot_id"] == sid:
+                        on_chain = True
+                        break
+                    pid = s["parent_id"]
+                    if pid == 0:
+                        break
+                    try:
+                        s = store.read_snapshot(self._root, pid)
+                    except Exception:
+                        break   # history below expired: sid unreachable
+                if not on_chain:
                     raise ValueError(
-                        f"start snapshot {sid} does not exist at "
-                        f"{self._root} (expired or never committed)") from e
+                        f"start snapshot {sid} does not exist on the main "
+                        f"chain of {self._root} (expired, never committed, "
+                        f"or an off-chain staged id)")
         elif self._start != "earliest":
             raise ValueError(
                 f"start must be 'earliest', 'latest' or a snapshot id, "

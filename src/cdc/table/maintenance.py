@@ -329,11 +329,15 @@ def verify_table(spark: SparkSession, table: CdcTable,
     manifest's, and its path's ``part=N`` dir matches the recorded part.
     Footer reads fan out on a thread pool like the commit path.
 
-    ``check_data=True`` adds one Spark pass over the snapshot: (a) the
+    ``check_data=True`` adds one Spark pass over the RAW STORED FILES
+    (never a reconciled read — a patch-MOR read recomputes the sha from
+    the folded content, which would make the check tautological): (a) the
     per-row invariant ``_content_sha256 == sha2(content)``
-    [BASELINE.json's parity hash], and (b) every row hashes to the
-    partition it is stored in (a mis-clustered row would be invisible to
-    lookups and merge pruning — the worst silent corruption).
+    [BASELINE.json's parity hash] over every stored row, including MOR
+    delta losers, and (b) every stored row hashes to the partition it
+    sits in (a mis-clustered row would be invisible to lookups and merge
+    pruning — the worst silent corruption); valid for MOR snapshots too,
+    since the raw scan never shuffles.
 
     Returns ``{"ok": bool, "errors": [...], "files_checked": n}``;
     errors are strings naming the file and the mismatch."""
@@ -383,43 +387,57 @@ def verify_table(spark: SparkSession, table: CdcTable,
             errors.extend(errs)
 
     if check_data and not errors:
-        df = table.read(spark, snapshot_id=snapshot_id, include_deleted=True)
-        checks = []
-        if "content" in df.columns and "_content_sha256" in df.columns:
-            live = F.coalesce(F.col("_deleted"), F.lit(False)) == False  # noqa: E712
-            bad_sha = (live & F.col("content").isNotNull()
-                       & (F.sha2(F.col("content"), 256)
-                          != F.col("_content_sha256")))
-            checks.append(F.sum(bad_sha.cast("long")).alias("bad_sha"))
-        # table.read recomputes `part` from the key columns; a row whose
-        # recomputed part mismatches its storage partition is mis-clustered.
-        # input_file_name() is only valid before a shuffle, so the check is
-        # skipped for MOR snapshots (their read reconciles through one) —
-        # compact first for a full audit.
-        if not any(f.get("kind") == "delta" for f in files):
-            # materialized in a projection first: non-deterministic
-            # expressions (input_file_name) may not appear inside an agg
-            df = df.withColumn(
-                "_stored_part",
-                F.regexp_extract(F.input_file_name(),
-                                 r"/part=(\d+)/", 1).cast("int"))
-            checks.append(
-                F.sum((F.col("_stored_part") != F.col(PART_COL))
-                      .cast("long")).alias("bad_part"))
-        # MOR snapshots without content/_content_sha256 columns have no
-        # applicable data checks; agg(*[]) would crash — the metadata tier
-        # above is the whole result then
-        if not checks:
+        # Check the RAW STORED FILES, never a reconciled read: a
+        # reconciled patch-MOR read RECOMPUTES _content_sha256 from the
+        # folded content, so comparing sha2(content) against it would be
+        # tautological (a bit-flipped stored content could never fire);
+        # a row-MOR reconciled read checks only the WINNER rows. The raw
+        # scan checks every stored row (losers, deltas, tombstone-shadowed
+        # history included), and input_file_name stays valid because
+        # nothing shuffles — so the part-placement check covers MOR
+        # snapshots too (the writer clusters delta rows the same way).
+        by_ddl: dict[str, list[str]] = {}
+        for f in files:
+            by_ddl.setdefault(f["columns"], []).append(
+                os.path.join(table.root, f["path"]))
+        bad_sha = bad_part = 0
+        part_checked = sha_checked = False
+        for ddl, paths in sorted(by_ddl.items()):
+            d = spark.read.schema(ddl).parquet(*paths)
+            checks = []
+            if "content" in d.columns and "_content_sha256" in d.columns:
+                sha_checked = True
+                viol = (F.col("content").isNotNull()
+                        & ~F.sha2(F.col("content"), 256)
+                           .eqNullSafe(F.col("_content_sha256")))
+                checks.append(F.sum(viol.cast("long")).alias("bad_sha"))
+            if all(c in d.columns for c in table.key_cols):
+                part_checked = True
+                # materialized in a projection first: non-deterministic
+                # expressions (input_file_name) may not appear inside an agg
+                d = d.withColumn(
+                    "_stored_part",
+                    F.regexp_extract(F.input_file_name(),
+                                     r"/part=(\d+)/", 1).cast("int"))
+                checks.append(
+                    F.sum((F.col("_stored_part") != table.part_of())
+                          .cast("long")).alias("bad_part"))
+            if not checks:
+                continue
+            row = d.agg(*checks).collect()[0].asDict()
+            bad_sha += row.get("bad_sha") or 0
+            bad_part += row.get("bad_part") or 0
+        if bad_sha:
+            errors.append(f"{bad_sha} stored rows violate the "
+                          f"sha256(content) invariant")
+        if bad_part:
+            errors.append(f"{bad_part} stored rows sit in the wrong "
+                          f"partition for their key")
+        if not (sha_checked or part_checked):
+            # no applicable data checks (e.g. no content column and key
+            # columns renamed in the files) — metadata tier is the result
             return {"ok": not errors, "errors": errors,
                     "files_checked": len(files)}
-        row = df.agg(*checks).collect()[0]
-        d = row.asDict()
-        if d.get("bad_sha"):
-            errors.append(f"{d['bad_sha']} rows violate the "
-                          f"sha256(content) invariant")
-        if d.get("bad_part"):
-            errors.append(f"{d['bad_part']} rows stored in the wrong "
-                          f"partition for their key")
     return {"ok": not errors, "errors": errors,
             "files_checked": len(files)}
 

@@ -335,6 +335,9 @@ def test_domain_quota_two_stage_salted(spark):
     assert len(windows) >= 2
     # stage 1 (the last Window in the tree = first executed) is salted
     assert "_salt" in windows[-1], windows
+
+
+def test_ngram_jaccard_guard(spark):
     from cdc.parity.textops import _shingles, ngram_jaccard_pairs
     docs = spark.createDataFrame(
         [(i, "one two three four five") for i in range(20)],
@@ -342,6 +345,8 @@ def test_domain_quota_two_stage_salted(spark):
     with pytest.raises(ValueError, match="dedup_minhash_lsh"):
         ngram_jaccard_pairs(_shingles(docs), max_rows=5).collect()
     assert ngram_jaccard_pairs(_shingles(docs), max_rows=100).count() > 0
+    # None forces through — same convention as cdc.vectors
+    assert ngram_jaccard_pairs(_shingles(docs), max_rows=None).count() > 0
 
 
 def test_exact_ntile_matches_window_ntile(spark):

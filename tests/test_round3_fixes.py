@@ -213,3 +213,35 @@ def test_verify_table_mor_without_content_columns(spark, tmp_path):
     res = verify_table(spark, t, check_data=True)
     assert res["ok"], res["errors"]
     assert res["files_checked"] > 0
+
+
+def test_verify_table_catches_patch_mor_corruption(spark, tmp_path):
+    """The data-tier audit must check STORED bytes, not a reconciled
+    read: a patch-MOR read recomputes the sha from the folded content, so
+    only a raw-file check can see a bit-flipped stored content value."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = CdcTable(str(tmp_path / "t"), n_partitions=4, layout="key_hash")
+    apply_batch(spark, t, ev(spark, [("r1", "a", 1, "v1", "U")]), "b0",
+                normalize=False, metrics=False)
+    apply_batch(spark, t, ev(spark, [("r1", "a", 5, "patched", "U")]),
+                "b1", normalize=False, metrics=False, mode="mor",
+                image="patch")
+    assert verify_table(spark, t, check_data=True)["ok"]
+
+    delta = next(f for f in t.current_snapshot()["files"]
+                 if f.get("kind") == "delta")
+    full = os.path.join(t.root, delta["path"])
+    raw = pq.read_table(full)
+    cols = [pa.array(["CORRUPTED"] * raw.num_rows)
+            if n == "content" else raw[n] for n in raw.column_names]
+    pq.write_table(pa.table(cols, names=raw.column_names), full)
+    crc = os.path.join(os.path.dirname(full),
+                       "." + os.path.basename(full) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)   # Hadoop LocalFS checksum sidecar (CLAUDE.md)
+
+    res = verify_table(spark, t, check_data=True)
+    assert not res["ok"]
+    assert any("sha256" in e for e in res["errors"]), res["errors"]
