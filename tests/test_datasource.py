@@ -338,3 +338,58 @@ def test_stream_tail_equals_change_feed(spark, tmp_path, ops):
         elif from_state[key] != x["_content_sha256"]:
             derived[key] = ("update", x["_content_sha256"])
     assert derived == expected
+
+
+def test_patch_replication_via_stream_source(spark, tmp_path):
+    """Patch-MOR replication composition: the tail of a patch-image table
+    emits the collapsed PATCH rows (NULL = column untouched); applying
+    each epoch downstream with image='patch' reproduces the source state
+    — including a column set in an EARLIER commit than the tail's last
+    row for that key (row-image replication would null it)."""
+    from cdc.table.table import CdcTable as _T
+
+    spark.dataSource.register(CdcTableDataSource)
+    src = _T(str(tmp_path / "src"), n_partitions=4, layout="key_hash")
+
+    def pev(rows):
+        return (spark.createDataFrame(
+                    rows, "repo string, path string, lsn long, "
+                          "content string, lang string, op string")
+                .select("*",
+                        F.to_timestamp(F.lit("2026-01-01")).alias("ts"),
+                        F.lit(0).alias("batch_id")))
+
+    apply_batch(spark, src, pev([("r1", "a", 1, "v1", "en", "U")]), "b0",
+                normalize=False, metrics=False, mode="mor", image="patch")
+    apply_batch(spark, src, pev([("r1", "a", 5, None, "fr", "U"),
+                                 ("r2", "b", 6, "w1", None, "U")]), "b1",
+                normalize=False, metrics=False, mode="mor", image="patch")
+
+    replica = _T(str(tmp_path / "replica"), n_partitions=4,
+                 layout="key_hash")
+
+    def apply(df, epoch):
+        ev_ = df.select(
+            "repo", "path", F.col("_lsn").alias("lsn"),
+            F.col("_updated_ts").alias("ts"),
+            F.when(F.coalesce(F.col("_deleted"), F.lit(False)), "D")
+             .otherwise("U").alias("op"),
+            "content", "lang", F.lit(epoch).alias("batch_id"))
+        apply_batch(df.sparkSession, replica, ev_, f"rep-{epoch}",
+                    normalize=False, metrics=False, image="patch")
+
+    q = (spark.readStream.format("cdctable").option("root", src.root)
+         .load()
+         .writeStream.foreachBatch(apply)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    def st(t):
+        return {(r.repo, r.path): (r.content, r.lang, r._lsn)
+                for r in t.read(spark).collect()}
+    got, want = st(replica), st(src)
+    assert got == want
+    # the epoch-2 tail row for (r1, a) carried content NULL; patch
+    # replication preserved the epoch-1 content
+    assert got[("r1", "a")] == ("v1", "fr", 5)
