@@ -75,6 +75,80 @@ def connected_components(edges: DataFrame, src: str = "src",
         und.unpersist()
 
 
+def connected_components_star(edges: DataFrame, src: str = "src",
+                              dst: str = "dst",
+                              max_iter: int = 50) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14) — the LONG-CHAIN escalation of ``connected_components``:
+    converges in O(log²  n) rounds on ANY graph (propagation needs
+    diameter rounds), with the same per-round shape (a groupBy-min and a
+    join). Use it when the graph may contain paths longer than a few
+    dozen hops; for dedup near-cliques the propagation form is cheaper.
+
+    Each round:
+      large-star — every node connects its STRICTLY LARGER neighbors to
+      the minimum of its neighborhood (incl. itself);
+      small-star — every node connects its smaller-or-equal neighbors
+      (and itself) to that minimum.
+    The edge set converges to a star forest whose centers are the
+    component minima; the fixed point is detected with a cheap
+    (count, hash-sum) signature instead of a full set comparison.
+    Returns (id, grp) like ``connected_components``."""
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (e.select(F.least("u", "v").alias("u"),
+                         F.greatest("u", "v").alias("v"))
+                .filter(F.col("u") != F.col("v")).distinct())
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.unionAll(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+        m = (sym.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        nbrs = sym.filter(F.col("v") > F.col("u")) if large \
+            else sym.filter(F.col("v") < F.col("u"))
+        out = nbrs.join(m, "u").select(F.col("v").alias("u"),
+                                       F.col("m").alias("v"))
+        if not large:
+            # small-star also re-points u itself at the minimum
+            out = out.unionAll(m.select(F.col("u"), F.col("m").alias("v")))
+        return canon(out)
+
+    # localCheckpoint (NOT persist) each round: one star round references
+    # `e` ~16 times (sym twice per star, twice per round, plus the join),
+    # so without a lineage cut the logical plan grows exponentially and
+    # the optimizer itself becomes the bottleneck long before execution.
+    e = canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))) \
+        .localCheckpoint(eager=True)
+    sig = None
+    for _ in range(max_iter):
+        nxt = star(star(e, large=True), large=False) \
+            .localCheckpoint(eager=True)
+        row = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor is order-independent and overflow-free (ANSI
+            # mode rejects a plain sum of 64-bit hashes)
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")),
+                       F.lit(0)).alias("h")
+        ).collect()[0]
+        new_sig = (row["n"], row["h"])
+        e = nxt
+        if new_sig == sig:
+            # fixed point: every edge now points a node at its
+            # component minimum (a star forest)
+            roots = e.select(F.col("u").alias("id"),
+                             F.col("u").alias("grp"))
+            leaves = e.select(F.col("v").alias("id"),
+                              F.col("u").alias("grp"))
+            return (leaves.unionAll(roots).groupBy("id")
+                    .agg(F.min("grp").alias("grp"))
+                    .localCheckpoint(eager=True))
+        sig = new_sig
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} "
+        f"rounds — pathological input (star converges in O(log^2 n))")
+
+
 def dedup_keepers(components: DataFrame) -> DataFrame:
     """One keeper per component (the min id — deterministic) plus the
     group size: the final decision table of a dedup pipeline. Input is

@@ -476,3 +476,39 @@ def test_connected_components_and_keepers(spark):
     # a diameter-4 chain must not converge in 1 round
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=1).collect()
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.integers(min_value=0, max_value=30)),
+    min_size=1, max_size=25).filter(lambda es: any(a != b for a, b in es))
+
+
+@given(es=_EDGES)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_star_cc_equals_propagation(spark, es):
+    """The large-star/small-star form must produce the same components as
+    min-label propagation on arbitrary graphs (incl. self loops and
+    duplicate edges, which both must tolerate)."""
+    from cdc.cc import connected_components, connected_components_star
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in es if a != b], "src long, dst long")
+    a = {r.id: r.grp for r in connected_components(edges).collect()}
+    b = {r.id: r.grp for r in connected_components_star(edges).collect()}
+    assert a == b
+
+
+def test_star_cc_long_chain(spark):
+    """A diameter-16 chain: propagation needs 16 rounds; star must land
+    the same single component well within its O(log^2 n) budget."""
+    from cdc.cc import connected_components_star
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "src long, dst long")
+    comp = {r.id: r.grp for r in
+            connected_components_star(edges).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 17
