@@ -24,12 +24,15 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 25) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 25,
+                         escalate: bool = True) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the
     component id is the smallest node id reachable from it. Undirected
-    (edges are symmetrized). Raises if ``max_iter`` rounds don't converge
-    — raise it for high-diameter graphs or switch to large-star/small-star
-    (see module docstring)."""
+    (edges are symmetrized). If ``max_iter`` propagation rounds don't
+    converge (diameter > max_iter) it ESCALATES to the
+    large-star/small-star form (O(log^2 n) rounds on any graph) rather
+    than failing the pipeline mid-job; ``escalate=False`` restores the
+    raise for callers that want to detect pathological pair graphs."""
     und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionAll(edges.select(F.col(dst).alias("a"),
                                   F.col(src).alias("b")))
@@ -66,10 +69,15 @@ def connected_components(edges: DataFrame, src: str = "src",
                 # reliable checkpoint dir instead under dynamic allocation).
                 return (labels.select(F.col("id"), F.col("grp"))
                         .localCheckpoint(eager=True))
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"(graph diameter exceeds max_iter) — raise max_iter or use a "
-            f"large-star/small-star implementation for this graph")
+        if not escalate:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds (graph diameter exceeds max_iter) — raise "
+                f"max_iter or use connected_components_star")
+        # long-chain graph: restart with the O(log^2 n)-round form on the
+        # cached symmetric edge list (dedup inputs are near-cliques, so
+        # this path is cold in practice)
+        return connected_components_star(und, src="a", dst="b")
     finally:
         labels.unpersist()
         und.unpersist()

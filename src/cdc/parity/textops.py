@@ -589,6 +589,27 @@ def dedup_groups(spark, sf_dir):
                        F.col("grp").cast("long").alias("group_id"))
 
 
+@q("dedup_groups_star", ORACLES["dedup_groups"])
+def dedup_groups_star(spark, sf_dir):
+    """``dedup_groups`` computed with the large-star/small-star form
+    (``cdc.cc.connected_components_star``, Kiveris et al. SoCC'14) instead
+    of min-label propagation — the O(log^2 n)-round path a web-scale graph
+    with long chains escalates to (propagation needs diameter rounds).
+    Same corpus, same banded-MinHash edges, same recursive-CTE oracle:
+    both forms must land identical (doc_id, group_id) assignments."""
+    from cdc.cc import connected_components_star
+
+    d = _docs(spark, sf_dir)
+    c = (d.unionByName(d.filter(F.col("doc_id") % 50 == 0)
+                        .withColumn("doc_id", F.col("doc_id") + 100000))
+          .unionByName(d.filter(F.col("doc_id") % 100 == 0)
+                        .withColumn("doc_id", F.col("doc_id") + 200000)))
+    comp = connected_components_star(minhash_pairs(c),
+                                     src="doc_a", dst="doc_b")
+    return comp.select(F.col("id").alias("doc_id"),
+                       F.col("grp").cast("long").alias("group_id"))
+
+
 @q("txt_repetition", """
 WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
 g AS (

@@ -473,9 +473,15 @@ def test_connected_components_and_keepers(spark):
     keep = {r.group_id: (r.keeper, r.n_members) for r in
             dedup_keepers(connected_components(edges)).collect()}
     assert keep == {1: (1, 5), 10: (10, 3), 20: (20, 2)}
-    # a diameter-4 chain must not converge in 1 round
+    # a diameter-4 chain must not converge in 1 propagation round
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, max_iter=1).collect()
+        connected_components(edges, max_iter=1, escalate=False).collect()
+    # with escalation (the default) the same exhaustion falls back to the
+    # star form and still produces the right components
+    comp = {r.id: r.grp for r in
+            connected_components(edges, max_iter=1).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
