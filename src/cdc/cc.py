@@ -157,6 +157,54 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         f"rounds — pathological input (star converges in O(log^2 n))")
 
 
+def connected_components_incremental(prior: DataFrame, edges: DataFrame,
+                                     src: str = "src",
+                                     dst: str = "dst") -> DataFrame:
+    """Merge NEW candidate-pair edges into a PRIOR (id, grp) assignment —
+    the continuous-dedup shape: as a corpus grows, each ingest emits LSH
+    pairs only for the new documents, and recomputing components over
+    every pair ever seen is O(corpus) per ingest. This is O(churn):
+
+    1. components TOUCHED by a new edge are found with one semi join
+       (new-edge endpoints -> their prior grp);
+    2. only the touched components' star edges (id—grp, grp is the
+       component min so the star preserves both connectivity and the min
+       label) are replayed through ``connected_components`` together with
+       the new edges;
+    3. every untouched row of ``prior`` passes through verbatim (anti
+       join) — at web scale that is the overwhelming majority, and it is
+       never shuffled through the CC rounds.
+
+    Equal to a full recompute over (prior-as-edges ∪ edges) by
+    construction — property-pinned in tests. New nodes (absent from
+    ``prior``) may appear on either side of a new edge. Output: (id, grp),
+    grp = smallest reachable node id, same contract as
+    ``connected_components``."""
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         # consumed three times below (two semi-join probes + the replay
+         # union) — cut whatever expensive LSH plan produced it
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionAll(e.select(F.col("dst").alias("id"))).distinct())
+    touched = (prior.join(nodes, "id", "left_semi")
+               .select("grp").distinct())
+    # a USING join moves the key column first — re-select (id, grp) so the
+    # unions below stay positional-safe
+    sub = prior.join(touched, "grp", "left_semi").select("id", "grp")
+    untouched = prior.join(touched, "grp", "left_anti").select("id", "grp")
+    star_edges = (sub.filter(F.col("id") != F.col("grp"))
+                  .select(F.col("id").alias("src"),
+                          F.col("grp").alias("dst")))
+    merged = connected_components(star_edges.unionAll(e))
+    # touched singletons (id == grp, no star edge) that gained no new
+    # edge of their own still belong in the output
+    lone = (sub.join(merged, "id", "left_anti")
+            .select("id", "grp"))
+    return merged.unionAll(lone).unionAll(untouched)
+
+
 def dedup_keepers(components: DataFrame) -> DataFrame:
     """One keeper per component (the min id — deterministic) plus the
     group size: the final decision table of a dedup pipeline. Input is

@@ -610,6 +610,37 @@ def dedup_groups_star(spark, sf_dir):
                        F.col("grp").cast("long").alias("group_id"))
 
 
+@q("dedup_groups_incr", ORACLES["dedup_groups"])
+def dedup_groups_incr(spark, sf_dir):
+    """``dedup_groups`` computed INCREMENTALLY
+    (``cdc.cc.connected_components_incremental``) — the continuous-dedup
+    shape: components over the original docs' pairs first (the standing
+    assignment), then the injected duplicates' pairs merged in as the
+    "new ingest" (O(churn): untouched components pass through without a
+    CC round; here the split is a filter on the same banded-MinHash pair
+    list, in a real pipeline the ingest emits only the new docs' pairs).
+    Same recursive-CTE oracle: the merged assignment must be identical
+    to the one-shot recompute."""
+    from cdc.cc import connected_components, \
+        connected_components_incremental
+
+    d = _docs(spark, sf_dir)
+    c = (d.unionByName(d.filter(F.col("doc_id") % 50 == 0)
+                        .withColumn("doc_id", F.col("doc_id") + 100000))
+          .unionByName(d.filter(F.col("doc_id") % 100 == 0)
+                        .withColumn("doc_id", F.col("doc_id") + 200000)))
+    pairs = minhash_pairs(c)
+    prior = connected_components(
+        pairs.filter((F.col("doc_a") < 100000) & (F.col("doc_b") < 100000)),
+        src="doc_a", dst="doc_b")
+    new = pairs.filter((F.col("doc_a") >= 100000)
+                       | (F.col("doc_b") >= 100000))
+    comp = connected_components_incremental(prior, new,
+                                            src="doc_a", dst="doc_b")
+    return comp.select(F.col("id").alias("doc_id"),
+                       F.col("grp").cast("long").alias("group_id"))
+
+
 @q("txt_repetition", """
 WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
 g AS (

@@ -509,6 +509,51 @@ def test_star_cc_equals_propagation(spark, es):
     assert a == b
 
 
+@given(es=_EDGES, cut=st.integers(min_value=0, max_value=25))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_incremental_cc_equals_recompute(spark, es, cut):
+    """Splitting an edge list at an arbitrary point and merging the second
+    half incrementally into the first half's components must equal one
+    recompute over the whole list."""
+    from cdc.cc import connected_components, connected_components_incremental
+    es = [(a, b) for a, b in es if a != b]
+    first, second = es[:cut], es[cut:]
+    if not first or not second:
+        return
+    full = {r.id: r.grp for r in connected_components(
+        spark.createDataFrame(es, "src long, dst long")).collect()}
+    prior = connected_components(
+        spark.createDataFrame(first, "src long, dst long"))
+    incr = {r.id: r.grp for r in connected_components_incremental(
+        prior, spark.createDataFrame(second, "src long, dst long")).collect()}
+    assert incr == full
+
+
+def test_incremental_cc_targeted(spark):
+    """Bridge edge merges two prior groups; untouched group passes through
+    verbatim; an all-new pair forms its own component; a touched singleton
+    keeps its row."""
+    from cdc.cc import connected_components, connected_components_incremental
+    prior = connected_components(spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)],
+        "src long, dst long"))
+    # 40 is a prior singleton component (inject directly)
+    prior = prior.unionAll(prior.sparkSession.createDataFrame(
+        [(40, 40)], "id long, grp long"))
+    new = spark.createDataFrame(
+        [(3, 10),      # bridges {1,2,3} and {10,11} -> grp 1
+         (50, 51),     # brand-new component
+         (40, 52)],    # touched singleton gains a member
+        "src long, dst long")
+    got = {r.id: r.grp for r in
+           connected_components_incremental(prior, new).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1,
+                   20: 20, 21: 20, 30: 30, 31: 30,
+                   40: 40, 50: 50, 51: 50, 52: 40}
+
+
 def test_star_cc_long_chain(spark):
     """A diameter-16 chain: propagation needs 16 rounds; star must land
     the same single component well within its O(log^2 n) budget."""
