@@ -554,6 +554,29 @@ def test_incremental_cc_targeted(spark):
                    40: 40, 50: 50, 51: 50, 52: 40}
 
 
+def test_bloom_prefilter_exact_composition(spark):
+    """No false negatives ever; FP rate near the 10-bits/key design point;
+    prefilter + exact confirm equals the plain join."""
+    from cdc.bloom import bloom_prefilter, build_bloom
+    members = spark.range(800).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("s"))
+    bloom = build_bloom(members, "s", expected=800)
+    assert bloom.nbytes <= 2 * 800 * 10 // 8   # ~10 bits/key, small slack
+    # every member survives the prefilter (bloom has no false negatives)
+    assert bloom_prefilter(members, "s", bloom).count() == 800
+    others = spark.range(10000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("s"))
+    fp = bloom_prefilter(others, "s", bloom).count()
+    assert fp / 10000 < 0.05, f"false-positive rate {fp/10000} way off"
+    mixed = members.unionAll(others)
+    bench = members.withColumnRenamed("s", "t")
+    exact = {r.s for r in mixed.join(
+        bench, F.col("s") == F.col("t"), "left_semi").collect()}
+    via = {r.s for r in bloom_prefilter(mixed, "s", bloom).join(
+        bench, F.col("s") == F.col("t"), "left_semi").collect()}
+    assert via == exact and len(exact) == 800
+
+
 def test_star_cc_long_chain(spark):
     """A diameter-16 chain: propagation needs 16 rounds; star must land
     the same single component well within its O(log^2 n) budget."""
