@@ -263,3 +263,22 @@ def test_mor_reconcile_scoped_to_delta_parts(spark, tmp_path, monkeypatch):
     # and the result is still the full, correct table state
     assert len(got) == 64
     assert got[("r0", "p0")] == "v0+d" and got[("r63", "p63")] == "v63"
+
+
+def test_bloom_prefilter_is_map_side(spark):
+    """The bloom probe must be a map-side filter: an ArrowEvalPython stage
+    over the scan with NO Exchange anywhere in the prefiltered frame's
+    plan — the whole point is that the big side is never shuffled."""
+    from pyspark.sql import functions as F
+
+    from cdc.bloom import bloom_prefilter, build_bloom
+
+    members = spark.range(200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("s"))
+    bloom = build_bloom(members, "s", expected=200)
+    big = spark.range(5000).select(
+        F.concat(F.lit("k"), (F.col("id") % 400)).alias("s"))
+    pre = bloom_prefilter(big, "s", bloom)
+    p = executed_plan_of(pre)
+    assert "ArrowEvalPython" in p, p[-2000:]
+    assert "Exchange" not in p, p[-2000:]
