@@ -50,7 +50,10 @@ def _positions(h: np.ndarray, n_bits: int, k: int) -> np.ndarray:
         h2 = (h1 * _H2_MULT) | np.int64(1)     # odd => full period
         i = np.arange(k, dtype=np.int64)
         pos = h1[:, None] + i[None, :] * h2[:, None]
-    return np.abs(pos % np.int64(n_bits))      # % keeps sign of dividend
+    # numpy % follows the DIVISOR's sign (Python semantics), so this is
+    # already in [0, n_bits) — a port to C/Java/SQL remainder semantics
+    # must add a floor-mod, or negative hashes lose half the positions
+    return pos % np.int64(n_bits)
 
 
 @dataclass(frozen=True)

@@ -41,10 +41,19 @@ def connected_components(edges: DataFrame, src: str = "src",
            # count) — persist it so an expensive upstream (the MinHash
            # pipeline) runs once, not 2x per round
            .persist())
+    # labels are localCheckpoint'ed (NOT persist'ed) EVERY round. Each
+    # round references the previous labels twice (neighbor probe + the
+    # update join), so an uncut logical plan doubles per round — and even
+    # though persist keeps EXECUTION incremental (cache substitution),
+    # every action still formats the full nested plan for the SQL-listener
+    # event (InMemoryRelation.innerChildren expands the cached subtree),
+    # which made round k pay O(2^k) DRIVER time in ExplainUtils before it
+    # ran a single task. A LogicalRDD leaf has no inner children, so the
+    # per-round plan is O(1). (Executor-local blocks; use a reliable
+    # checkpoint dir instead under dynamic allocation.)
     labels = (und.select(F.col("a").alias("id")).distinct()
-              .withColumn("grp", F.col("id")))
-    labels = labels.persist()
-    labels.count()   # materialize so each round folds ONE join, not a chain
+              .withColumn("grp", F.col("id"))
+              .localCheckpoint(eager=True))
     try:
         for _ in range(max_iter):
             neigh = (und.join(labels.select(F.col("id").alias("b"),
@@ -54,21 +63,14 @@ def connected_components(edges: DataFrame, src: str = "src",
                    .select(F.col("id"),
                            F.least(F.col("grp"),
                                    F.coalesce(F.col("nmin"),
-                                              F.col("grp"))).alias("grp")))
-            new = new.persist()
+                                              F.col("grp"))).alias("grp"))
+                   .localCheckpoint(eager=True))
             changed = (new.alias("n")
                        .join(labels.alias("o"), "id")
                        .filter(F.col("n.grp") != F.col("o.grp")).count())
-            labels.unpersist()
             labels = new
             if changed == 0:
-                # cut the per-round lineage chain before the caches are
-                # released below — otherwise the caller's first action
-                # recomputes every round from the raw edges. localCheckpoint
-                # keeps the materialized blocks (executor-local; use a
-                # reliable checkpoint dir instead under dynamic allocation).
-                return (labels.select(F.col("id"), F.col("grp"))
-                        .localCheckpoint(eager=True))
+                return labels.select(F.col("id"), F.col("grp"))
         if not escalate:
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
@@ -79,7 +81,6 @@ def connected_components(edges: DataFrame, src: str = "src",
         # this path is cold in practice)
         return connected_components_star(und, src="a", dst="b")
     finally:
-        labels.unpersist()
         und.unpersist()
 
 
@@ -101,7 +102,9 @@ def connected_components_star(edges: DataFrame, src: str = "src",
     The edge set converges to a star forest whose centers are the
     component minima; the fixed point is detected with a cheap
     (count, hash-sum) signature instead of a full set comparison.
-    Returns (id, grp) like ``connected_components``."""
+    Returns (id, grp) like ``connected_components`` — including
+    self-loop-only nodes as singletons (the rounds drop self loops, so
+    those nodes are re-attached from the input's node set at the end)."""
 
     def canon(e: DataFrame) -> DataFrame:
         return (e.select(F.least("u", "v").alias("u"),
@@ -122,12 +125,17 @@ def connected_components_star(edges: DataFrame, src: str = "src",
             out = out.unionAll(m.select(F.col("u"), F.col("m").alias("v")))
         return canon(out)
 
+    uv = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # every input node, self-loop-only ones included — the rounds filter
+    # self loops, so these must be re-attached as singletons at the end
+    all_nodes = (uv.select(F.col("u").alias("id"))
+                 .unionAll(uv.select(F.col("v").alias("id"))).distinct()
+                 .localCheckpoint(eager=True))
     # localCheckpoint (NOT persist) each round: one star round references
     # `e` ~16 times (sym twice per star, twice per round, plus the join),
     # so without a lineage cut the logical plan grows exponentially and
     # the optimizer itself becomes the bottleneck long before execution.
-    e = canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))) \
-        .localCheckpoint(eager=True)
+    e = canon(uv).localCheckpoint(eager=True)
     sig = None
     for _ in range(max_iter):
         nxt = star(star(e, large=True), large=False) \
@@ -148,9 +156,11 @@ def connected_components_star(edges: DataFrame, src: str = "src",
                              F.col("u").alias("grp"))
             leaves = e.select(F.col("v").alias("id"),
                               F.col("u").alias("grp"))
-            return (leaves.unionAll(roots).groupBy("id")
-                    .agg(F.min("grp").alias("grp"))
-                    .localCheckpoint(eager=True))
+            comp = (leaves.unionAll(roots).groupBy("id")
+                    .agg(F.min("grp").alias("grp")))
+            singles = (all_nodes.join(comp, "id", "left_anti")
+                       .select(F.col("id"), F.col("id").alias("grp")))
+            return comp.unionAll(singles).localCheckpoint(eager=True)
         sig = new_sig
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} "
@@ -180,14 +190,16 @@ def connected_components_incremental(prior: DataFrame, edges: DataFrame,
     ``prior``) may appear on either side of a new edge. Output: (id, grp),
     grp = smallest reachable node id, same contract as
     ``connected_components``."""
-    e = (edges.select(F.col(src).cast("long").alias("src"),
-                      F.col(dst).cast("long").alias("dst"))
-         .filter(F.col("src") != F.col("dst"))
-         # consumed three times below (two semi-join probes + the replay
-         # union) — cut whatever expensive LSH plan produced it
-         .localCheckpoint(eager=True))
-    nodes = (e.select(F.col("src").alias("id"))
-             .unionAll(e.select(F.col("dst").alias("id"))).distinct())
+    raw = (edges.select(F.col(src).cast("long").alias("src"),
+                        F.col(dst).cast("long").alias("dst"))
+           # consumed several times below (node set, replay union) — cut
+           # whatever expensive LSH plan produced it
+           .localCheckpoint(eager=True))
+    # node set BEFORE dropping self loops: a self-loop-only node must
+    # still land in the output (as its prior row, or a new singleton)
+    nodes = (raw.select(F.col("src").alias("id"))
+             .unionAll(raw.select(F.col("dst").alias("id"))).distinct())
+    e = raw.filter(F.col("src") != F.col("dst"))
     touched = (prior.join(nodes, "id", "left_semi")
                .select("grp").distinct())
     # a USING join moves the key column first — re-select (id, grp) so the
@@ -198,11 +210,15 @@ def connected_components_incremental(prior: DataFrame, edges: DataFrame,
                   .select(F.col("id").alias("src"),
                           F.col("grp").alias("dst")))
     merged = connected_components(star_edges.unionAll(e))
-    # touched singletons (id == grp, no star edge) that gained no new
-    # edge of their own still belong in the output
-    lone = (sub.join(merged, "id", "left_anti")
-            .select("id", "grp"))
-    return merged.unionAll(lone).unionAll(untouched)
+    # prior rows the replay never saw: touched singletons (id == grp, no
+    # star edge) whose only new edge was a self loop keep their row
+    kept = sub.join(merged, "id", "left_anti").select("id", "grp")
+    # brand-new self-loop-only nodes (in no real edge, absent from prior)
+    # become singletons
+    fresh = (nodes.join(merged, "id", "left_anti")
+             .join(prior, "id", "left_anti")
+             .select(F.col("id"), F.col("id").alias("grp")))
+    return merged.unionAll(kept).unionAll(fresh).unionAll(untouched)
 
 
 def dedup_keepers(components: DataFrame) -> DataFrame:

@@ -55,6 +55,13 @@ def get_spark(
         # Arrow transfer for pandas UDFs / createDataFrame(pandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Every action formats an explain string for the SQL-listener
+        # event even with the UI off; "formatted" mode expands
+        # InMemoryRelation.innerChildren, so iterative jobs that nest
+        # cached plans pay exponential DRIVER time before running a task
+        # (cc.py history). Iterative code must still cut lineage
+        # (localCheckpoint) — this just caps the cost of the event string.
+        .config("spark.sql.ui.explainMode", "simple")
         .config("spark.driver.memory", os.environ.get("CDC_DRIVER_MEM", "24g"))
     )
     # Shuffle/spill to tmpfs when available: local-mode shuffles are pure

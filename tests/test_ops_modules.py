@@ -502,8 +502,7 @@ def test_star_cc_equals_propagation(spark, es):
     min-label propagation on arbitrary graphs (incl. self loops and
     duplicate edges, which both must tolerate)."""
     from cdc.cc import connected_components, connected_components_star
-    edges = spark.createDataFrame(
-        [(a, b) for a, b in es if a != b], "src long, dst long")
+    edges = spark.createDataFrame(es, "src long, dst long")
     a = {r.id: r.grp for r in connected_components(edges).collect()}
     b = {r.id: r.grp for r in connected_components_star(edges).collect()}
     assert a == b
@@ -518,7 +517,6 @@ def test_incremental_cc_equals_recompute(spark, es, cut):
     half incrementally into the first half's components must equal one
     recompute over the whole list."""
     from cdc.cc import connected_components, connected_components_incremental
-    es = [(a, b) for a, b in es if a != b]
     first, second = es[:cut], es[cut:]
     if not first or not second:
         return
@@ -552,6 +550,30 @@ def test_incremental_cc_targeted(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1,
                    20: 20, 21: 20, 30: 30, 31: 30,
                    40: 40, 50: 50, 51: 50, 52: 40}
+
+
+def test_cc_self_loop_only_nodes(spark):
+    """A node that appears ONLY in self loops must still come out as a
+    singleton from all three CC forms (the star/incremental rounds drop
+    self loops internally and re-attach the nodes)."""
+    from cdc.cc import (connected_components, connected_components_star,
+                        connected_components_incremental)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 7), (8, 8), (3, 3)], "src long, dst long")
+    want = {1: 1, 2: 1, 3: 1, 7: 7, 8: 8}
+    a = {r.id: r.grp for r in connected_components(edges).collect()}
+    b = {r.id: r.grp for r in connected_components_star(edges).collect()}
+    assert a == want and b == want
+    prior = connected_components(spark.createDataFrame(
+        [(1, 2), (10, 10)], "src long, dst long"))
+    new = spark.createDataFrame(
+        [(10, 10),    # self loop on a touched prior singleton: row kept
+         (60, 60),    # brand-new self-loop-only node: fresh singleton
+         (2, 3)],     # real growth
+        "src long, dst long")
+    got = {r.id: r.grp for r in
+           connected_components_incremental(prior, new).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 60: 60}
 
 
 def test_bloom_prefilter_exact_composition(spark):
