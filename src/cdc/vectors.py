@@ -248,7 +248,10 @@ def ivf_train(vecs: DataFrame, n_centroids: int, iters: int = 0) -> DataFrame:
                  .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
                  .select(F.col("centroid").alias("cid"),
                          F.transform("pm", lambda s: s["m"]).alias("cemb")))
-        cent = means
+        # materialize the C-row centroid table each step — without the cut,
+        # step k's plan nests every earlier step and re-executes the whole
+        # chain from the raw vectors (O(iters^2) scans of the corpus)
+        cent = means.localCheckpoint(eager=True)
     return cent
 
 
