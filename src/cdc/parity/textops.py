@@ -203,11 +203,13 @@ _BAND_SQL = " UNION ALL ".join(
     for b in range(LSH_BANDS))
 
 
-def minhash_pairs(c) -> DataFrame:
-    """MinHash + LSH candidate pairs (doc_a, doc_b) from a (doc_id, text)
-    corpus: shingle -> K seeded md5 minhashes -> banded bucket hash ->
-    equi-self-join on (band, bucket). Linear in corpus size + bucket
-    fan-out — never all-pairs."""
+def minhash_bands(c) -> DataFrame:
+    """Banded MinHash signature rows (doc_id, band, bucket) for a
+    (doc_id, text) corpus: shingle -> K seeded md5 minhashes -> per-band
+    bucket hash. This is the STANDING STATE of a continuous dedup
+    pipeline — signatures are a pure per-doc function, so a doc's rows
+    never change after ingest; at rest the table is bucketed by
+    (band, bucket) so ingest probes are join-local."""
     sh = _shingles(c)
     r = N_MINHASH // LSH_BANDS
     sig = sh.groupBy("doc_id").agg(*[
@@ -220,16 +222,60 @@ def minhash_pairs(c) -> DataFrame:
                  F.md5(F.concat(*[F.col(f"mh{k}")
                                   for k in range(b * r, (b + 1) * r)])).alias("bucket"))
         for b in range(LSH_BANDS)])
-    bands = (sig.select("doc_id", F.explode(band_arr).alias("bb"))
-             .select("doc_id", F.col("bb.band").alias("band"),
-                     F.col("bb.bucket").alias("bucket")))
-    a = bands.alias("a")
-    b2 = bands.alias("b")
+    return (sig.select("doc_id", F.explode(band_arr).alias("bb"))
+            .select("doc_id", F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
+
+
+def _pairs_from_bands(a_bands: DataFrame, b_bands: DataFrame,
+                      symmetric: bool = False) -> DataFrame:
+    """Canonical candidate pairs (doc_a < doc_b) from two band frames:
+    equi-join on (band, bucket), self-pairs dropped, duplicates (several
+    shared buckets, both probe directions) collapsed. ``symmetric=True``
+    (a self-join) keeps only the a < b half — same result, half the join
+    output; an asymmetric probe must keep ``!=`` or it would miss pairs
+    whose smaller id is on the probe side."""
+    a = a_bands.alias("a")
+    b2 = b_bands.alias("b")
+    ids = ((F.col("a.doc_id") < F.col("b.doc_id")) if symmetric
+           else (F.col("a.doc_id") != F.col("b.doc_id")))
     return (a.join(b2, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+                   & ids)
+            .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
             .distinct())
+
+
+def minhash_pairs(c) -> DataFrame:
+    """MinHash + LSH candidate pairs (doc_a, doc_b) from a (doc_id, text)
+    corpus: shingle -> K seeded md5 minhashes -> banded bucket hash ->
+    equi-self-join on (band, bucket). Linear in corpus size + bucket
+    fan-out — never all-pairs."""
+    bands = minhash_bands(c)
+    return _pairs_from_bands(bands, bands, symmetric=True)
+
+
+def minhash_pairs_incremental(standing_bands: DataFrame,
+                              new_docs: DataFrame
+                              ) -> tuple[DataFrame, DataFrame]:
+    """Candidate pairs for ONE ingest batch against a standing corpus —
+    O(batch), never O(corpus). Bands are computed ONLY for the new docs
+    (LSH state is per-doc, so standing rows never change); the probe is
+    one equi-join of the new bands against standing ∪ new on
+    (band, bucket), which yields EXACTLY the pairs of the full self-join
+    that touch a new doc (pairs among old docs were emitted by earlier
+    batches). Returns (pairs, new_bands) — the caller appends new_bands
+    to the standing table. At scale the batch side is small (broadcast);
+    the standing table is bucketed by (band, bucket) so the probe
+    shuffles only the batch. Feed the pairs to
+    ``cdc.cc.connected_components_incremental`` for the O(churn) group
+    merge — together they are the continuous-dedup ingest path."""
+    nb = (minhash_bands(new_docs)
+          # consumed twice (probe side + the union) — don't run the
+          # shingle -> signature pipeline twice
+          .localCheckpoint(eager=True))
+    return _pairs_from_bands(nb, standing_bands.unionByName(nb)), nb
 
 
 @q("dedup_minhash_lsh", _SHINGLE_SQL + f""",
@@ -246,6 +292,47 @@ def dedup_minhash_lsh(spark, sf_dir):
     The scale path: cost is linear in corpus size + bucket-join fan-out;
     never all-pairs."""
     return minhash_pairs(_corpus(spark, sf_dir))
+
+
+_GROUPS_CORPUS_SQL = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0
+),
+w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) g
+),
+sig AS (SELECT doc_id, {{cols}} FROM sh GROUP BY doc_id),
+bands AS ({{bands}})"""
+
+
+@q("dedup_lsh_incr", _GROUPS_CORPUS_SQL.format(
+    cols=_MINHASH_COLS, bands=_BAND_SQL) + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id AND b.doc_id >= 100000
+""")
+def dedup_lsh_incr(spark, sf_dir):
+    """INCREMENTAL candidate-pair generation
+    (``minhash_pairs_incremental``) — the ingest half of continuous
+    dedup: the batch's injected duplicates compute their own bands and
+    probe the standing band table of the original docs; cost is
+    O(batch), the standing corpus is never re-shingled. The oracle is
+    the full-corpus LSH self-join restricted to pairs touching a new doc
+    (new ids are all >= 100000, so the canonical greater id decides)."""
+    d = _docs(spark, sf_dir)
+    new = (d.filter(F.col("doc_id") % 50 == 0)
+           .withColumn("doc_id", F.col("doc_id") + 100000)
+           .unionByName(d.filter(F.col("doc_id") % 100 == 0)
+                        .withColumn("doc_id", F.col("doc_id") + 200000)))
+    pairs, _ = minhash_pairs_incremental(minhash_bands(d), new)
+    return pairs
 
 
 def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
@@ -663,6 +750,38 @@ def dedup_groups_incr(spark, sf_dir):
     new = pairs.filter((F.col("doc_a") >= 100000)
                        | (F.col("doc_b") >= 100000))
     comp = connected_components_incremental(prior, new,
+                                            src="doc_a", dst="doc_b")
+    return comp.select(F.col("id").alias("doc_id"),
+                       F.col("grp").cast("long").alias("group_id"))
+
+
+@q("dedup_groups_cont", ORACLES["dedup_groups"])
+def dedup_groups_cont(spark, sf_dir):
+    """END-TO-END continuous dedup ingest: everything is derived from the
+    STANDING STATE (band table + component assignment of the original
+    corpus) and the INGEST BATCH alone — unlike ``dedup_groups_incr``,
+    which filters a one-shot pair list, nothing here ever re-shingles or
+    re-pairs the standing corpus. The batch computes its own bands,
+    probes the standing band table (``minhash_pairs_incremental``,
+    O(batch)), and the resulting pairs merge into the standing
+    assignment (``connected_components_incremental``, O(churn)). Must be
+    identical to the one-shot recompute — same recursive-CTE oracle as
+    ``dedup_groups``."""
+    from cdc.cc import connected_components, \
+        connected_components_incremental
+
+    d = _docs(spark, sf_dir)
+    new = (d.filter(F.col("doc_id") % 50 == 0)
+           .withColumn("doc_id", F.col("doc_id") + 100000)
+           .unionByName(d.filter(F.col("doc_id") % 100 == 0)
+                        .withColumn("doc_id", F.col("doc_id") + 200000)))
+    # standing state: consumed twice (prior components + the ingest probe)
+    standing = minhash_bands(d).localCheckpoint(eager=True)
+    prior = connected_components(
+        _pairs_from_bands(standing, standing, symmetric=True),
+        src="doc_a", dst="doc_b")
+    new_pairs, _ = minhash_pairs_incremental(standing, new)
+    comp = connected_components_incremental(prior, new_pairs,
                                             src="doc_a", dst="doc_b")
     return comp.select(F.col("id").alias("doc_id"),
                        F.col("grp").cast("long").alias("group_id"))

@@ -552,6 +552,34 @@ def test_incremental_cc_targeted(spark):
                    40: 40, 50: 50, 51: 50, 52: 40}
 
 
+def test_minhash_pairs_incremental_equals_full(spark):
+    """Ingest-batch pair generation must produce exactly the full
+    self-join's pairs that touch a new doc, and appending the returned
+    new bands to the standing table must reproduce the full band table —
+    so repeated ingests never re-shingle the standing corpus."""
+    from cdc.parity.textops import (minhash_bands, minhash_pairs,
+                                    minhash_pairs_incremental)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    old_rows = [(i, " ".join(words[i % 3:] * 3)) for i in range(12)]
+    # new docs: exact copies of some old docs (guaranteed pairs) + a
+    # fresh doc + a copy-pair WITHIN the batch
+    new_rows = ([(100 + i, old_rows[i][1]) for i in (0, 4)]
+                + [(200, " ".join(reversed(words)) )]
+                + [(201, old_rows[1][1]), (202, old_rows[1][1])])
+    full = minhash_pairs(mk(old_rows + new_rows))
+    want = {(r.doc_a, r.doc_b) for r in
+            full.filter(F.col("doc_b") >= 100).collect()}
+    pairs, nb = minhash_pairs_incremental(minhash_bands(mk(old_rows)),
+                                          mk(new_rows))
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == want and want   # non-empty: copies must collide
+    appended = minhash_bands(mk(old_rows)).unionByName(nb)
+    a = {tuple(r) for r in appended.collect()}
+    b = {tuple(r) for r in minhash_bands(mk(old_rows + new_rows)).collect()}
+    assert a == b
+
+
 def test_cc_self_loop_only_nodes(spark):
     """A node that appears ONLY in self loops must still come out as a
     singleton from all three CC forms (the star/incremental rounds drop
