@@ -181,3 +181,65 @@ def test_stream_with_downstream_maintainers(spark, log_dir, tmp_path):
                                 scd2.maintainer(hist)])
     assert mv.current_snapshot()["snapshot_id"] == mv_snap
     assert hist.current_snapshot()["snapshot_id"] == hist_snap
+
+
+def test_continuous_dedup_stream_equals_oneshot(spark, tmp_path):
+    """Continuous dedup over a file stream (one micro-batch per file):
+    the standing groups table must equal a one-shot CC over the full
+    corpus's pairs after every drain, restarts must be no-ops, and a
+    later drop of NEW files must advance the state incrementally."""
+    from cdc.cc import connected_components
+    from cdc.parity.textops import minhash_pairs
+    from cdc.stream.dedup import continuous_dedup, dedup_tables
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+    def doc(i):  # distinct docs, with exact copies for i % 4 == 0
+        base = i - (i % 100) if i % 4 == 0 else i
+        return (i, " ".join(words[base % 5:] * 3) + f" tail{base % 7}")
+
+    src_dir = tmp_path / "docs"
+    src_dir.mkdir()
+
+    def drop(name, ids):
+        (spark.createDataFrame([doc(i) for i in ids],
+                               "doc_id long, text string")
+         .coalesce(1).write.parquet(str(src_dir / name)))
+
+    drop("f0", range(0, 20))
+    drop("f1", range(100, 120))
+    drop("f2", range(200, 220))
+
+    bands, groups = dedup_tables(str(tmp_path / "bands"),
+                                 str(tmp_path / "groups"), n_partitions=4)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src_dir / "*")))
+    ckpt = str(tmp_path / "ckpt")
+    continuous_dedup(spark, stream, bands, groups, checkpoint_dir=ckpt)
+
+    def oneshot(ids):
+        corpus = spark.createDataFrame([doc(i) for i in ids],
+                                       "doc_id long, text string")
+        return {(r.id, r.grp) for r in connected_components(
+            minhash_pairs(corpus), src="doc_a", dst="doc_b").collect()}
+
+    def standing():
+        return {(r.doc_id, r.grp) for r in
+                groups.read(spark).select("doc_id", "grp").collect()}
+
+    all_ids = list(range(0, 20)) + list(range(100, 120)) + list(range(200, 220))
+    assert standing() == oneshot(all_ids)
+
+    # restart on a drained source: no new epochs, no new snapshots
+    gsnap = groups.current_snapshot()["snapshot_id"]
+    continuous_dedup(spark, stream, bands, groups, checkpoint_dir=ckpt)
+    assert groups.current_snapshot()["snapshot_id"] == gsnap
+
+    # new files arrive -> incremental catch-up must still equal one-shot
+    drop("f3", range(300, 320))
+    stream2 = (spark.readStream.schema("doc_id long, text string")
+               .option("maxFilesPerTrigger", 1)
+               .parquet(str(src_dir / "*")))
+    continuous_dedup(spark, stream2, bands, groups, checkpoint_dir=ckpt)
+    assert standing() == oneshot(all_ids + list(range(300, 320)))
