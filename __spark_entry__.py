@@ -68,9 +68,13 @@ _DRIVER_WINDOW = [
     "w2_lag_transitions", "w4_ntile_deciles", "o3_topk_hot",
     # streaming-shape + functions
     "t4_session_window", "f1_sha256_invariant", "a10_patch_mor_lww",
-    # document dedup / training-set assembly
-    "dedup_exact_docs", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_simhash_pairs", "txt_domain_quota", "txt_decontaminate",
+    # document dedup / training-set assembly (incl. the continuous-dedup
+    # pair probe + standing-state merge, the round-3 flagship additions;
+    # exact doc dedup is the same operator as a2_dedup_exact above, and
+    # SimHash pair extraction is the banded twin of dedup_simhash — both
+    # stay judge-verifiable outside the window)
+    "dedup_minhash_lsh", "dedup_lsh_incr", "dedup_groups_cont",
+    "dedup_simhash", "txt_domain_quota", "txt_decontaminate",
     # embeddings / ANN
     "ann_ivf_search", "ann_ivf_search_np2", "dedup_embed_lsh",
     # multimodal + pandas-UDF families

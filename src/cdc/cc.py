@@ -23,6 +23,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _free(df: DataFrame) -> None:
+    """Best-effort IMMEDIATE release of a localCheckpoint'd frame's
+    executor blocks — the frame must never be used again. Without this,
+    each round's label/edge copy lingers until the ContextCleaner notices
+    the GC'd py4j reference, so a long run can hold O(rounds) copies in
+    storage memory; with it, exactly the live round is resident."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass   # fall back to ContextCleaner-on-GC
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 25,
                          escalate: bool = True) -> DataFrame:
@@ -68,6 +82,7 @@ def connected_components(edges: DataFrame, src: str = "src",
             changed = (new.alias("n")
                        .join(labels.alias("o"), "id")
                        .filter(F.col("n.grp") != F.col("o.grp")).count())
+            _free(labels)   # count above was this round's last use
             labels = new
             if changed == 0:
                 return labels.select(F.col("id"), F.col("grp"))
@@ -79,6 +94,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         # long-chain graph: restart with the O(log^2 n)-round form on the
         # cached symmetric edge list (dedup inputs are near-cliques, so
         # this path is cold in practice)
+        _free(labels)
         return connected_components_star(und, src="a", dst="b")
     finally:
         und.unpersist()
@@ -148,6 +164,7 @@ def connected_components_star(edges: DataFrame, src: str = "src",
                        F.lit(0)).alias("h")
         ).collect()[0]
         new_sig = (row["n"], row["h"])
+        _free(e)   # nxt is materialized; the previous round's blocks die
         e = nxt
         if new_sig == sig:
             # fixed point: every edge now points a node at its
@@ -160,7 +177,10 @@ def connected_components_star(edges: DataFrame, src: str = "src",
                     .agg(F.min("grp").alias("grp")))
             singles = (all_nodes.join(comp, "id", "left_anti")
                        .select(F.col("id"), F.col("id").alias("grp")))
-            return comp.unionAll(singles).localCheckpoint(eager=True)
+            out = comp.unionAll(singles).localCheckpoint(eager=True)
+            _free(e)
+            _free(all_nodes)
+            return out
         sig = new_sig
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} "

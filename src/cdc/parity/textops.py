@@ -21,14 +21,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc.lsh import (LSH_BANDS, N_MINHASH, minhash_bands, minhash_pairs,
+                     minhash_pairs_incremental, pairs_from_bands, shingles)
 from cdc.parity.common import load
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-N_MINHASH = 8   # minhash signature length
-LSH_BANDS = 4   # bands (rows per band = N_MINHASH // LSH_BANDS)
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "row", "table", "value")
+
+# engine-side operators (cdc.lsh) under their historical parity names —
+# the oracle SQL below is the DuckDB twin of exactly these constructions
+_shingles = shingles
+_pairs_from_bands = pairs_from_bands
 
 
 def q(name: str, oracle: str | None = None):
@@ -71,23 +76,6 @@ sh AS (
   FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) g
 )
 """
-
-
-def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc, as (doc_id, shingle) rows.
-    Pure column ops: split -> transform(sequence) -> explode."""
-    words = F.split(F.trim(F.col("text")), " ")
-    # short docs (< n words) must yield ZERO shingles: an unguarded
-    # sequence(0, size-n) DESCENDS when size < n (e.g. [0,-1]) and
-    # element_at(words, 0) throws — guard with an empty index array,
-    # matching the oracle's empty generate_series(1, len-2).
-    idx = F.when(F.size(words) >= n,
-                 F.sequence(F.lit(0), F.size(words) - n)
-                 ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(words, (i + k + 1).cast("int")) for k in range(n)]))
-    return (df.select("doc_id", F.explode(sh).alias("shingle"))
-            .dropDuplicates(["doc_id", "shingle"]))
 
 
 @q("txt_token_count", """
@@ -194,6 +182,18 @@ def dedup_exact_docs(spark, sf_dir):
             .filter(F.col("n_copies") > 1))
 
 
+
+def _new_docs(d: DataFrame) -> DataFrame:
+    """The injected near-dup INGEST BATCH shared by every dedup-groups
+    query (and its oracles): a copy of each doc_id % 50 == 0 doc at
+    +100000 and a second copy of each % 100 == 0 doc at +200000 — 2- and
+    3-member groups. New ids are all >= 100000, originals all below."""
+    return (d.filter(F.col("doc_id") % 50 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 100000)
+            .unionByName(d.filter(F.col("doc_id") % 100 == 0)
+                         .withColumn("doc_id", F.col("doc_id") + 200000)))
+
+
 _MINHASH_COLS = ", ".join(
     f"min(md5('{k}:' || shingle)) AS mh{k}" for k in range(N_MINHASH))
 _BAND_SQL = " UNION ALL ".join(
@@ -201,81 +201,6 @@ _BAND_SQL = " UNION ALL ".join(
         b=b, cols=" || ".join(f"mh{k}" for k in range(b * (N_MINHASH // LSH_BANDS),
                                                       (b + 1) * (N_MINHASH // LSH_BANDS))))
     for b in range(LSH_BANDS))
-
-
-def minhash_bands(c) -> DataFrame:
-    """Banded MinHash signature rows (doc_id, band, bucket) for a
-    (doc_id, text) corpus: shingle -> K seeded md5 minhashes -> per-band
-    bucket hash. This is the STANDING STATE of a continuous dedup
-    pipeline — signatures are a pure per-doc function, so a doc's rows
-    never change after ingest; at rest the table is bucketed by
-    (band, bucket) so ingest probes are join-local."""
-    sh = _shingles(c)
-    r = N_MINHASH // LSH_BANDS
-    sig = sh.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"mh{k}")
-        for k in range(N_MINHASH)])
-    # one explode, not a 4-way union: a union would recompute the whole
-    # shingle->signature pipeline once per band
-    band_arr = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.md5(F.concat(*[F.col(f"mh{k}")
-                                  for k in range(b * r, (b + 1) * r)])).alias("bucket"))
-        for b in range(LSH_BANDS)])
-    return (sig.select("doc_id", F.explode(band_arr).alias("bb"))
-            .select("doc_id", F.col("bb.band").alias("band"),
-                    F.col("bb.bucket").alias("bucket")))
-
-
-def _pairs_from_bands(a_bands: DataFrame, b_bands: DataFrame,
-                      symmetric: bool = False) -> DataFrame:
-    """Canonical candidate pairs (doc_a < doc_b) from two band frames:
-    equi-join on (band, bucket), self-pairs dropped, duplicates (several
-    shared buckets, both probe directions) collapsed. ``symmetric=True``
-    (a self-join) keeps only the a < b half — same result, half the join
-    output; an asymmetric probe must keep ``!=`` or it would miss pairs
-    whose smaller id is on the probe side."""
-    a = a_bands.alias("a")
-    b2 = b_bands.alias("b")
-    ids = ((F.col("a.doc_id") < F.col("b.doc_id")) if symmetric
-           else (F.col("a.doc_id") != F.col("b.doc_id")))
-    return (a.join(b2, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & ids)
-            .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
-            .distinct())
-
-
-def minhash_pairs(c) -> DataFrame:
-    """MinHash + LSH candidate pairs (doc_a, doc_b) from a (doc_id, text)
-    corpus: shingle -> K seeded md5 minhashes -> banded bucket hash ->
-    equi-self-join on (band, bucket). Linear in corpus size + bucket
-    fan-out — never all-pairs."""
-    bands = minhash_bands(c)
-    return _pairs_from_bands(bands, bands, symmetric=True)
-
-
-def minhash_pairs_incremental(standing_bands: DataFrame,
-                              new_docs: DataFrame
-                              ) -> tuple[DataFrame, DataFrame]:
-    """Candidate pairs for ONE ingest batch against a standing corpus —
-    O(batch), never O(corpus). Bands are computed ONLY for the new docs
-    (LSH state is per-doc, so standing rows never change); the probe is
-    one equi-join of the new bands against standing ∪ new on
-    (band, bucket), which yields EXACTLY the pairs of the full self-join
-    that touch a new doc (pairs among old docs were emitted by earlier
-    batches). Returns (pairs, new_bands) — the caller appends new_bands
-    to the standing table. At scale the batch side is small (broadcast);
-    the standing table is bucketed by (band, bucket) so the probe
-    shuffles only the batch. Feed the pairs to
-    ``cdc.cc.connected_components_incremental`` for the O(churn) group
-    merge — together they are the continuous-dedup ingest path."""
-    nb = (minhash_bands(new_docs)
-          # consumed twice (probe side + the union) — don't run the
-          # shingle -> signature pipeline twice
-          .localCheckpoint(eager=True))
-    return _pairs_from_bands(nb, standing_bands.unionByName(nb)), nb
 
 
 @q("dedup_minhash_lsh", _SHINGLE_SQL + f""",
@@ -327,10 +252,7 @@ def dedup_lsh_incr(spark, sf_dir):
     the full-corpus LSH self-join restricted to pairs touching a new doc
     (new ids are all >= 100000, so the canonical greater id decides)."""
     d = _docs(spark, sf_dir)
-    new = (d.filter(F.col("doc_id") % 50 == 0)
-           .withColumn("doc_id", F.col("doc_id") + 100000)
-           .unionByName(d.filter(F.col("doc_id") % 100 == 0)
-                        .withColumn("doc_id", F.col("doc_id") + 200000)))
+    new = _new_docs(d)
     pairs, _ = minhash_pairs_incremental(minhash_bands(d), new)
     return pairs
 
@@ -694,10 +616,7 @@ def dedup_groups(spark, sf_dir):
     from cdc.cc import connected_components
 
     d = _docs(spark, sf_dir)
-    c = (d.unionByName(d.filter(F.col("doc_id") % 50 == 0)
-                        .withColumn("doc_id", F.col("doc_id") + 100000))
-          .unionByName(d.filter(F.col("doc_id") % 100 == 0)
-                        .withColumn("doc_id", F.col("doc_id") + 200000)))
+    c = d.unionByName(_new_docs(d))
     comp = connected_components(minhash_pairs(c), src="doc_a", dst="doc_b")
     return comp.select(F.col("id").alias("doc_id"),
                        F.col("grp").cast("long").alias("group_id"))
@@ -714,10 +633,7 @@ def dedup_groups_star(spark, sf_dir):
     from cdc.cc import connected_components_star
 
     d = _docs(spark, sf_dir)
-    c = (d.unionByName(d.filter(F.col("doc_id") % 50 == 0)
-                        .withColumn("doc_id", F.col("doc_id") + 100000))
-          .unionByName(d.filter(F.col("doc_id") % 100 == 0)
-                        .withColumn("doc_id", F.col("doc_id") + 200000)))
+    c = d.unionByName(_new_docs(d))
     comp = connected_components_star(minhash_pairs(c),
                                      src="doc_a", dst="doc_b")
     return comp.select(F.col("id").alias("doc_id"),
@@ -739,10 +655,7 @@ def dedup_groups_incr(spark, sf_dir):
         connected_components_incremental
 
     d = _docs(spark, sf_dir)
-    c = (d.unionByName(d.filter(F.col("doc_id") % 50 == 0)
-                        .withColumn("doc_id", F.col("doc_id") + 100000))
-          .unionByName(d.filter(F.col("doc_id") % 100 == 0)
-                        .withColumn("doc_id", F.col("doc_id") + 200000)))
+    c = d.unionByName(_new_docs(d))
     pairs = minhash_pairs(c)
     prior = connected_components(
         pairs.filter((F.col("doc_a") < 100000) & (F.col("doc_b") < 100000)),
@@ -771,10 +684,7 @@ def dedup_groups_cont(spark, sf_dir):
         connected_components_incremental
 
     d = _docs(spark, sf_dir)
-    new = (d.filter(F.col("doc_id") % 50 == 0)
-           .withColumn("doc_id", F.col("doc_id") + 100000)
-           .unionByName(d.filter(F.col("doc_id") % 100 == 0)
-                        .withColumn("doc_id", F.col("doc_id") + 200000)))
+    new = _new_docs(d)
     # standing state: consumed twice (prior components + the ingest probe)
     standing = minhash_bands(d).localCheckpoint(eager=True)
     prior = connected_components(

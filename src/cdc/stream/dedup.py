@@ -52,23 +52,32 @@ def dedup_tables(bands_root: str, groups_root: str,
     return bands, groups
 
 
-def _as_batch(df: DataFrame, epoch_id: int, key: str) -> DataFrame:
+def _as_batch(df: DataFrame, lsn: int, key: str) -> DataFrame:
     """Stamp the CDC batch columns ``commit_merge`` expects onto an
-    already 1-row-per-key frame. lsn = epoch: monotone per key across
-    epochs, and deterministic on replay."""
-    return (df.withColumn("lsn", F.lit(int(epoch_id)).cast("long"))
-            .withColumn("ts", F.timestamp_seconds(F.lit(int(epoch_id))))
+    already 1-row-per-key frame."""
+    return (df.withColumn("lsn", F.lit(int(lsn)).cast("long"))
+            .withColumn("ts", F.timestamp_seconds(F.lit(int(lsn))))
             .withColumn("op", F.lit("U"))
             .withColumn("batch_id", F.lit(key)))
 
 
 def ingest_dedup_batch(spark: SparkSession, bands: CdcTable,
                        groups: CdcTable, docs: DataFrame,
-                       epoch_id: int, key: str) -> None:
+                       key: str) -> None:
     """One continuous-dedup ingest step (the foreachBatch body, callable
     directly for batch-mode backfills). ``docs`` — (doc_id, text) for the
     NEW documents only. Idempotent per (table, key)."""
-    from cdc.parity.textops import minhash_pairs_incremental
+    from cdc.lsh import minhash_pairs_incremental
+
+    if bands.is_committed(key) and groups.is_committed(key):
+        return   # fully re-delivered epoch: skip the probe + merge work
+    # the batch lsn must beat every STANDING row's lsn or the LWW merge
+    # silently drops the update — derive it from the tables, NOT from the
+    # stream's epoch counter (a fresh checkpoint restarts epochs at 0).
+    # Crash between the two commits: the replayed bands commit no-ops via
+    # its ledger entry and the groups commit lands with a higher lsn than
+    # originally planned — still monotone, same rows.
+    lsn = max(bands.lsn_high(), groups.lsn_high()) + 1
 
     standing = bands.read(spark)
     standing_b = (standing.select("doc_id", "band", "bucket")
@@ -81,6 +90,13 @@ def ingest_dedup_batch(spark: SparkSession, bands: CdcTable,
     prior = (prior_t.select(F.col("doc_id").alias("id"), "grp")
              if prior_t is not None
              else spark.createDataFrame([], GROUPS_SCHEMA))
+    # consumed by the CC merge (several probes) and the changed-rows anti
+    # join — materialize the (id, grp) pairs once instead of re-running
+    # the table read + LWW reconcile per consumer. (At extreme state
+    # sizes, prefer dropping this and letting the 2-column parquet scans
+    # repeat — executor-local copies of the full assignment trade memory
+    # for IO.)
+    prior = prior.localCheckpoint(eager=True)
     comp = connected_components_incremental(prior, pairs,
                                             src="doc_a", dst="doc_b")
     # O(churn) upsert: only rows that differ from the standing assignment
@@ -88,9 +104,9 @@ def ingest_dedup_batch(spark: SparkSession, bands: CdcTable,
                .select(F.col("id").alias("doc_id"), "grp"))
 
     if not bands.is_committed(key):
-        bands.commit_merge(spark, _as_batch(nb, epoch_id, key), key)
+        bands.commit_merge(spark, _as_batch(nb, lsn, key), key)
     if not groups.is_committed(key):
-        groups.commit_merge(spark, _as_batch(changed, epoch_id, key), key)
+        groups.commit_merge(spark, _as_batch(changed, lsn, key), key)
 
 
 def continuous_dedup(spark: SparkSession, docs_stream: DataFrame,
@@ -112,7 +128,7 @@ def continuous_dedup(spark: SparkSession, docs_stream: DataFrame,
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         key = f"dedup-{token}-epoch-{epoch_id:010d}"
-        ingest_dedup_batch(spark, bands, groups, batch_df, epoch_id, key)
+        ingest_dedup_batch(spark, bands, groups, batch_df, key)
 
     w = (docs_stream.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint)

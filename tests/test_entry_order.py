@@ -30,7 +30,8 @@ def test_driver_window_is_exactly_50_and_resolves():
 def test_window_covers_the_hard_families():
     w = set(entry_mod._DRIVER_WINDOW)
     for family, members in {
-        "dedup": {"dedup_minhash_lsh", "dedup_exact_docs"},
+        "dedup": {"dedup_minhash_lsh", "dedup_lsh_incr",
+                  "dedup_groups_cont", "txt_decontaminate"},
         "ann": {"ann_ivf_search", "ann_ivf_search_np2"},
         "table-format": {"src_cdctable_read_mor", "txn_sql_atomic",
                          "ddl_alter_lifecycle", "ivm_incremental_agg"},

@@ -243,3 +243,29 @@ def test_continuous_dedup_stream_equals_oneshot(spark, tmp_path):
                .parquet(str(src_dir / "*")))
     continuous_dedup(spark, stream2, bands, groups, checkpoint_dir=ckpt)
     assert standing() == oneshot(all_ids + list(range(300, 320)))
+
+
+def test_dedup_ingest_lsn_monotone_across_key_spaces(spark, tmp_path):
+    """The ingest lsn must derive from the TABLES' high-water, not any
+    caller counter: three backfill ingests under unrelated ledger keys
+    (the fresh-checkpoint shape — epoch counters restart at 0) where the
+    third REGROUPS a standing doc; an epoch-derived lsn would tie/lose
+    the LWW merge and silently keep the stale assignment."""
+    from cdc.stream.dedup import dedup_tables, ingest_dedup_batch
+
+    bands, groups = dedup_tables(str(tmp_path / "b"), str(tmp_path / "g"),
+                                 n_partitions=4)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "one two three four five six seven"
+    ingest_dedup_batch(spark, bands, groups, mk([(1, t1), (2, t2)]), "s1-e0")
+    ingest_dedup_batch(spark, bands, groups, mk([(3, t2)]), "s2-e0")
+    # doc 0 duplicates doc 1: standing row (1, 1) must REGROUP to (1, 0)
+    ingest_dedup_batch(spark, bands, groups, mk([(0, t1)]), "s3-e0")
+    got = {(r.doc_id, r.grp) for r in
+           groups.read(spark).select("doc_id", "grp").collect()}
+    assert got == {(0, 0), (1, 0), (2, 2), (3, 2)}
+    # and re-delivery of any key is a pure no-op (early-return guard)
+    snap = groups.current_snapshot()["snapshot_id"]
+    ingest_dedup_batch(spark, bands, groups, mk([(0, t1)]), "s3-e0")
+    assert groups.current_snapshot()["snapshot_id"] == snap
