@@ -161,6 +161,39 @@ def dedup_embed_lsh(spark, sf_dir):
     return cosine_near_dup_lsh(emb.unionByName(dup), threshold=0.95)
 
 
+@q("dedup_embed_lsh_incr", _EMB_CORPUS + f""",
+sig AS (SELECT vec_id, embedding, {_RH_BITS} FROM corpus),
+bands AS ({_RH_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+  WHERE b.vec_id >= 100000
+),
+scored AS (
+  SELECT c.id_a, c.id_b, {_cos('ea.embedding', 'eb.embedding')} AS cos
+  FROM cand c JOIN corpus ea ON ea.vec_id = c.id_a
+              JOIN corpus eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM scored WHERE cos >= 0.95
+""")
+def dedup_embed_lsh_incr(spark, sf_dir):
+    """INCREMENTAL embedding near-dup — the vector twin of
+    ``dedup_lsh_incr``: the ingest batch (the injected duplicates, all
+    ids >= 100000) computes its own hyperplane bands and probes the
+    standing band table of the original vectors
+    (``cdc.vectors.cosine_near_dup_lsh_incremental``, O(batch)); exact
+    cosine confirms only the candidates. The oracle is the full-corpus
+    LSH plan restricted to pairs whose canonical greater id is new."""
+    from cdc.vectors import cosine_near_dup_lsh_incremental, rh_bands
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = (emb.filter(F.col("vec_id") % 100 == 0)
+           .withColumn("vec_id", F.col("vec_id") + 100000))
+    pairs, _ = cosine_near_dup_lsh_incremental(
+        rh_bands(emb), emb.unionByName(dup), dup, threshold=0.95)
+    return pairs
+
+
 # -- IVF with a REAL trained coarse quantizer ---------------------------------
 
 _IVF_ASSIGN = f"""

@@ -149,18 +149,12 @@ def rh_signature_bits(emb, signs: list[list[int]]) -> "F.Column":
         matrix, lambda plane: F.when(dot(emb, plane) > 0, F.lit(1)).otherwise(F.lit(0)))
 
 
-def cosine_near_dup_lsh(vecs: DataFrame, threshold: float,
-                        n_planes: int = RH_PLANES,
-                        n_bands: int = RH_BANDS,
-                        dim: int = 64) -> DataFrame:
-    """Embedding near-dup pairs via random-hyperplane LSH banding.
-
-    vecs: (vec_id, embedding array<float>). Returns (id_a, id_b, cosine)
-    for candidate pairs (sharing >= 1 full band of signature bits) whose
-    exact cosine >= threshold. Recall < 1 by LSH design (a pair differing
-    in every band is missed); exact duplicates collide on all bands, so
-    dedup recall on true copies is 1.
-    """
+def rh_bands(vecs: DataFrame, n_planes: int = RH_PLANES,
+             n_bands: int = RH_BANDS, dim: int = 64) -> DataFrame:
+    """Banded random-hyperplane signature rows (vec_id, band, bval) — the
+    STANDING STATE of a continuous embedding-dedup pipeline: a pure
+    per-vector function of the fixed seeded sign matrix, so a vector's
+    rows never change after ingest."""
     r = n_planes // n_bands
     signs = rh_signs(n_planes, dim)
     sig = (vecs.select("vec_id", as_double("embedding").alias("emb"))
@@ -176,22 +170,35 @@ def cosine_near_dup_lsh(vecs: DataFrame, threshold: float,
                                    lambda x, p: x * p),
                         F.lit(0), lambda acc, x: acc + x).alias("bval"))
         for b in range(n_bands)])
-    # NARROW banding: the band join and the pair-dedup move only
-    # (vec_id, band, bval) — the wide embedding arrays never ride through
-    # those shuffles; they join back onto the (small) candidate set for
-    # the exact-cosine confirmation only.
-    banded = (sig.select("vec_id", F.explode(band_arr).alias("bb"))
-              .select("vec_id", F.col("bb.band").alias("band"),
-                      F.col("bb.bval").alias("bval")))
-    a = banded.alias("a")
-    b2 = banded.alias("b")
-    cand = (a.join(b2, (F.col("a.band") == F.col("b.band"))
+    return (sig.select("vec_id", F.explode(band_arr).alias("bb"))
+            .select("vec_id", F.col("bb.band").alias("band"),
+                    F.col("bb.bval").alias("bval")))
+
+
+def _rh_candidates(a_banded: DataFrame, b_banded: DataFrame,
+                   symmetric: bool = False) -> DataFrame:
+    """Canonical candidate pairs (id_a < id_b) from two band frames.
+    NARROW: only (vec_id, band, bval) moves through the join and the
+    dedup — embeddings join back onto candidates later. ``symmetric``
+    halves a self-join; an asymmetric probe keeps ``!=`` or pairs whose
+    smaller id is on the probe side would be missed."""
+    a = a_banded.alias("a")
+    b2 = b_banded.alias("b")
+    ids = ((F.col("a.vec_id") < F.col("b.vec_id")) if symmetric
+           else (F.col("a.vec_id") != F.col("b.vec_id")))
+    return (a.join(b2, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bval") == F.col("b.bval"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("id_a"),
-                    F.col("b.vec_id").alias("id_b"))
+                   & ids)
+            .select(F.least("a.vec_id", "b.vec_id").alias("id_a"),
+                    F.greatest("a.vec_id", "b.vec_id").alias("id_b"))
             .distinct())
-    e = sig.select("vec_id", "emb")
+
+
+def _confirm_cosine(cand: DataFrame, vecs: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact-cosine confirmation of (id_a, id_b) candidates against a
+    (vec_id, embedding) lookup — runs only on the candidate set."""
+    e = vecs.select("vec_id", as_double("embedding").alias("emb"))
     pairs = (cand.join(e.select(F.col("vec_id").alias("id_a"),
                                 F.col("emb").alias("ea")), "id_a")
              .join(e.select(F.col("vec_id").alias("id_b"),
@@ -199,6 +206,45 @@ def cosine_near_dup_lsh(vecs: DataFrame, threshold: float,
     cos = cosine(F.col("ea"), F.col("eb"))
     return (pairs.withColumn("cos", cos).filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cosine")))
+
+
+def cosine_near_dup_lsh(vecs: DataFrame, threshold: float,
+                        n_planes: int = RH_PLANES,
+                        n_bands: int = RH_BANDS,
+                        dim: int = 64) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH banding.
+
+    vecs: (vec_id, embedding array<float>). Returns (id_a, id_b, cosine)
+    for candidate pairs (sharing >= 1 full band of signature bits) whose
+    exact cosine >= threshold. Recall < 1 by LSH design (a pair differing
+    in every band is missed); exact duplicates collide on all bands, so
+    dedup recall on true copies is 1.
+    """
+    banded = rh_bands(vecs, n_planes, n_bands, dim)
+    cand = _rh_candidates(banded, banded, symmetric=True)
+    return _confirm_cosine(cand, vecs, threshold)
+
+
+def cosine_near_dup_lsh_incremental(
+        standing_bands: DataFrame, all_vecs: DataFrame,
+        new_vecs: DataFrame, threshold: float,
+        n_planes: int = RH_PLANES, n_bands: int = RH_BANDS,
+        dim: int = 64) -> tuple[DataFrame, DataFrame]:
+    """Embedding near-dup pairs for ONE ingest batch against a standing
+    corpus — the vector twin of ``cdc.lsh.minhash_pairs_incremental``,
+    O(batch): signatures are a pure per-vector function of the fixed
+    seeded hyperplanes, so the batch computes its own bands and probes
+    standing ∪ new on (band, bval); exactly the full self-join's pairs
+    touching a new vector come out. ``all_vecs`` (standing ∪ new
+    embeddings; at scale the standing embedding table, joined only onto
+    candidates) backs the exact-cosine confirmation. Returns
+    (pairs, new_bands) — the caller appends new_bands to the standing
+    band table."""
+    nb = (rh_bands(new_vecs, n_planes, n_bands, dim)
+          # consumed twice (probe side + the union)
+          .localCheckpoint(eager=True))
+    cand = _rh_candidates(nb, standing_bands.unionByName(nb))
+    return _confirm_cosine(cand, all_vecs, threshold), nb
 
 
 # -- IVF: real coarse quantizer ----------------------------------------------

@@ -580,6 +580,36 @@ def test_minhash_pairs_incremental_equals_full(spark):
     assert a == b
 
 
+def test_embed_lsh_incremental_equals_full(spark):
+    """The vector twin of the minhash incremental property: batch bands
+    probing the standing band table must produce exactly the full
+    self-join's confirmed pairs that touch a new vector, and appending
+    the returned bands reproduces the full band table."""
+    from cdc.vectors import (cosine_near_dup_lsh,
+                             cosine_near_dup_lsh_incremental, rh_bands)
+
+    def vec(i, copy_of=None):
+        s = i if copy_of is None else copy_of
+        return (i, [float(((s * 31 + j * 17) % 13) - 6) for j in range(8)])
+
+    old = [vec(i) for i in range(15)]
+    new = [vec(100, copy_of=3), vec(101, copy_of=7), vec(102),
+           vec(103, copy_of=102)]   # dup WITHIN the batch too
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    full = cosine_near_dup_lsh(mk(old + new), threshold=0.95, dim=8)
+    want = {(r.id_a, r.id_b, r.cosine) for r in
+            full.filter(F.col("id_b") >= 100).collect()}
+    pairs, nb = cosine_near_dup_lsh_incremental(
+        rh_bands(mk(old), dim=8), mk(old + new), mk(new),
+        threshold=0.95, dim=8)
+    got = {(r.id_a, r.id_b, r.cosine) for r in pairs.collect()}
+    assert got == want and want   # copies must collide on all bands
+    a = {tuple(r) for r in rh_bands(mk(old), dim=8).unionByName(nb).collect()}
+    b = {tuple(r) for r in rh_bands(mk(old + new), dim=8).collect()}
+    assert a == b
+
+
 def test_cc_self_loop_only_nodes(spark):
     """A node that appears ONLY in self loops must still come out as a
     singleton from all three CC forms (the star/incremental rounds drop
