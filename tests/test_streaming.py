@@ -269,3 +269,46 @@ def test_dedup_ingest_lsn_monotone_across_key_spaces(spark, tmp_path):
     snap = groups.current_snapshot()["snapshot_id"]
     ingest_dedup_batch(spark, bands, groups, mk([(0, t1)]), "s3-e0")
     assert groups.current_snapshot()["snapshot_id"] == snap
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+@given(assign=st.lists(st.integers(min_value=0, max_value=2),
+                       min_size=6, max_size=14),
+       texts=st.lists(st.integers(min_value=0, max_value=4),
+                      min_size=6, max_size=14))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_continuous_dedup_random_splits_equal_oneshot(spark, tmp_path_factory,
+                                                      assign, texts):
+    """Any partition of a corpus into ingest batches, applied in order
+    through ingest_dedup_batch, must land the same standing assignment as
+    a one-shot CC over the whole corpus's pairs."""
+    from cdc.cc import connected_components
+    from cdc.lsh import minhash_pairs
+    from cdc.stream.dedup import dedup_tables, ingest_dedup_batch
+
+    n = min(len(assign), len(texts))
+    docs = [(i, " ".join(_WORDS[texts[i] :] * 3) + f" t{texts[i]}")
+            for i in range(n)]
+    batches = [[d for d, b in zip(docs, assign) if b == k] for k in (0, 1, 2)]
+    tmp = tmp_path_factory.mktemp("contdedup")
+    bands, groups = dedup_tables(str(tmp / "b"), str(tmp / "g"),
+                                 n_partitions=4)
+    mk = lambda rows: spark.createDataFrame(rows,
+                                            "doc_id long, text string")
+    for k, batch in enumerate(batches):
+        if batch:
+            ingest_dedup_batch(spark, bands, groups, mk(batch), f"e{k}")
+    got_t = groups.read(spark)
+    got = ({(r.doc_id, r.grp) for r in
+            got_t.select("doc_id", "grp").collect()}
+           if got_t is not None else set())
+    want = {(r.id, r.grp) for r in connected_components(
+        minhash_pairs(mk(docs)), src="doc_a", dst="doc_b").collect()}
+    assert got == want
