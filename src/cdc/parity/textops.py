@@ -697,6 +697,37 @@ def dedup_groups_cont(spark, sf_dir):
                        F.col("grp").cast("long").alias("group_id"))
 
 
+# keepers oracle = the dedup_groups closure with its final per-node
+# select folded into a CTE and grouped per component
+_KEEPERS_SQL = ORACLES["dedup_groups"].replace(
+    """SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
+FROM reach GROUP BY id""",
+    """, comp AS (
+  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
+  FROM reach GROUP BY id
+)
+SELECT group_id, CAST(min(doc_id) AS BIGINT) AS keeper,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM comp GROUP BY group_id""")
+
+
+@q("dedup_keepers", _KEEPERS_SQL)
+def dedup_keepers_q(spark, sf_dir):
+    """The KEEPER DECISION TABLE — the final deliverable of a dedup
+    pipeline: one keeper per transitive group (the min doc id,
+    deterministic) plus the group size, via ``cdc.cc.dedup_keepers`` over
+    the same components as ``dedup_groups``."""
+    from cdc.cc import connected_components, dedup_keepers
+
+    d = _docs(spark, sf_dir)
+    c = d.unionByName(_new_docs(d))
+    comp = connected_components(minhash_pairs(c), src="doc_a", dst="doc_b")
+    return (dedup_keepers(comp)
+            .select(F.col("group_id").cast("long").alias("group_id"),
+                    F.col("keeper").cast("long").alias("keeper"),
+                    F.col("n_members").cast("long").alias("n_members")))
+
+
 @q("txt_repetition", """
 WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
 g AS (
