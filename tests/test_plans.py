@@ -282,3 +282,31 @@ def test_bloom_prefilter_is_map_side(spark):
     p = executed_plan_of(pre)
     assert "ArrowEvalPython" in p, p[-2000:]
     assert "Exchange" not in p, p[-2000:]
+
+
+def test_incremental_lsh_probe_broadcasts_batch_side(spark, tmp_path):
+    """The continuous-dedup ingest probe must run as a broadcast hash
+    join with the BATCH's bands as the build side — the standing band
+    table (the corpus-sized side) must never shuffle for the join. AQE
+    converts at runtime from the actual batch size; pin the conversion."""
+    from pyspark.sql import functions as F
+
+    from cdc.lsh import minhash_bands, minhash_pairs_incremental
+
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i % 3:] * 3)) for i in range(200)],
+        "doc_id long, text string")
+    minhash_bands(docs).write.parquet(str(tmp_path / "bands"))
+    standing = spark.read.parquet(str(tmp_path / "bands"))
+    batch = (docs.filter(F.col("doc_id") % 50 == 0)
+             .withColumn("doc_id", F.col("doc_id") + 1000))
+    pairs, _ = minhash_pairs_incremental(standing, batch)
+    # the AQE plan string appends the pre-conversion "== Initial Plan =="
+    # (which legitimately shows the SMJ the statistics-free plan chose) —
+    # pin the FINAL plan only
+    p = executed_plan_of(pairs).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in p, p[-2500:]
+    # the only shuffle is the pair-dedup on the (small) candidate output,
+    # never a repartition of the standing band scan for the join itself
+    assert "SortMergeJoin" not in p, p[-2500:]
