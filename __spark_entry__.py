@@ -72,7 +72,10 @@ _DRIVER_WINDOW = [
     # pair probe + standing-state merge, the round-3 flagship additions;
     # exact doc dedup is the same operator as a2_dedup_exact above, and
     # SimHash pair extraction is the banded twin of dedup_simhash — both
-    # stay judge-verifiable outside the window)
+    # stay judge-verifiable outside the window, as do dedup_keepers (a
+    # group-by over dedup_groups_cont's in-window components) and
+    # dedup_embed_lsh_incr (the vector instantiation of dedup_lsh_incr's
+    # in-window probe))
     "dedup_minhash_lsh", "dedup_lsh_incr", "dedup_groups_cont",
     "dedup_simhash", "txt_domain_quota", "txt_decontaminate",
     # embeddings / ANN

@@ -244,7 +244,10 @@ def connected_components_incremental(prior: DataFrame, edges: DataFrame,
 def dedup_keepers(components: DataFrame) -> DataFrame:
     """One keeper per component (the min id — deterministic) plus the
     group size: the final decision table of a dedup pipeline. Input is
-    ``connected_components`` output (id, grp)."""
+    ``connected_components`` output (id, grp). With the min-id policy the
+    keeper EQUALS the group label (grp is already the component min);
+    the separate column is the seam for richer policies (keep-longest,
+    keep-highest-quality) that re-rank members by a metadata join."""
     return (components.groupBy("grp")
             .agg(F.min("id").alias("keeper"),
                  F.count(F.lit(1)).alias("n_members"))

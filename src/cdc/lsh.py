@@ -66,24 +66,34 @@ def minhash_bands(c: DataFrame) -> DataFrame:
                     F.col("bb.bucket").alias("bucket")))
 
 
+def canonical_pairs(a_side: DataFrame, b_side: DataFrame, id_col: str,
+                    key_cols: tuple[str, ...], out_a: str, out_b: str,
+                    symmetric: bool = False) -> DataFrame:
+    """Canonical candidate pairs (out_a < out_b) from two banded frames:
+    equi-join on ``key_cols``, self-pairs dropped, duplicates (several
+    shared buckets, both probe directions) collapsed. Shared by the
+    MinHash (doc_id/(band, bucket)) and random-hyperplane
+    (vec_id/(band, bval)) paths. ``symmetric=True`` (a self-join) keeps
+    only the a < b half — same result, half the join output; an
+    asymmetric probe MUST keep ``!=`` or it would miss pairs whose
+    smaller id is on the probe side."""
+    a = a_side.alias("a")
+    b2 = b_side.alias("b")
+    cond = ((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) if symmetric
+            else (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+    for k in key_cols:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    return (a.join(b2, cond)
+            .select(F.least(f"a.{id_col}", f"b.{id_col}").alias(out_a),
+                    F.greatest(f"a.{id_col}", f"b.{id_col}").alias(out_b))
+            .distinct())
+
+
 def pairs_from_bands(a_bands: DataFrame, b_bands: DataFrame,
                      symmetric: bool = False) -> DataFrame:
-    """Canonical candidate pairs (doc_a < doc_b) from two band frames:
-    equi-join on (band, bucket), self-pairs dropped, duplicates (several
-    shared buckets, both probe directions) collapsed. ``symmetric=True``
-    (a self-join) keeps only the a < b half — same result, half the join
-    output; an asymmetric probe must keep ``!=`` or it would miss pairs
-    whose smaller id is on the probe side."""
-    a = a_bands.alias("a")
-    b2 = b_bands.alias("b")
-    ids = ((F.col("a.doc_id") < F.col("b.doc_id")) if symmetric
-           else (F.col("a.doc_id") != F.col("b.doc_id")))
-    return (a.join(b2, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & ids)
-            .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
-            .distinct())
+    """MinHash instantiation of ``canonical_pairs``."""
+    return canonical_pairs(a_bands, b_bands, "doc_id", ("band", "bucket"),
+                           "doc_a", "doc_b", symmetric)
 
 
 def minhash_pairs(c: DataFrame) -> DataFrame:

@@ -177,21 +177,12 @@ def rh_bands(vecs: DataFrame, n_planes: int = RH_PLANES,
 
 def _rh_candidates(a_banded: DataFrame, b_banded: DataFrame,
                    symmetric: bool = False) -> DataFrame:
-    """Canonical candidate pairs (id_a < id_b) from two band frames.
+    """Random-hyperplane instantiation of ``cdc.lsh.canonical_pairs``.
     NARROW: only (vec_id, band, bval) moves through the join and the
-    dedup — embeddings join back onto candidates later. ``symmetric``
-    halves a self-join; an asymmetric probe keeps ``!=`` or pairs whose
-    smaller id is on the probe side would be missed."""
-    a = a_banded.alias("a")
-    b2 = b_banded.alias("b")
-    ids = ((F.col("a.vec_id") < F.col("b.vec_id")) if symmetric
-           else (F.col("a.vec_id") != F.col("b.vec_id")))
-    return (a.join(b2, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bval") == F.col("b.bval"))
-                   & ids)
-            .select(F.least("a.vec_id", "b.vec_id").alias("id_a"),
-                    F.greatest("a.vec_id", "b.vec_id").alias("id_b"))
-            .distinct())
+    dedup — embeddings join back onto candidates later."""
+    from cdc.lsh import canonical_pairs
+    return canonical_pairs(a_banded, b_banded, "vec_id", ("band", "bval"),
+                           "id_a", "id_b", symmetric)
 
 
 def _confirm_cosine(cand: DataFrame, vecs: DataFrame,
