@@ -324,7 +324,14 @@ def dedup_simhash(spark, sf_dir):
     """SimHash signatures: 32-bit bitwise-majority over distinct-word
     hashes (md5-derived, identical on both sides). Near-dups share
     signatures within small Hamming distance; exact copies collide."""
-    c = _corpus(spark, sf_dir)
+    return simhash_signatures(_corpus(spark, sf_dir))
+
+
+def simhash_signatures(c: DataFrame) -> DataFrame:
+    """(doc_id, simhash) 32-bit SimHash per document — a pure per-doc
+    function (bitwise majority of distinct-word hashes), so like the
+    MinHash/hyperplane band tables it is STANDING STATE a continuous
+    pipeline appends to, never recomputes."""
     w = (c.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
          .dropDuplicates(["doc_id", "word"]))
     h = w.select("doc_id",
@@ -369,26 +376,71 @@ def dedup_simhash_pairs(spark, sf_dir):
     the Spark plan never goes quadratic: the join is an equi-join on
     (band, band_bits) — linear in corpus size + bucket fan-out at scale."""
     sig = dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
+    banded = _sim_banded(sig)
+    return _sim_pairs(banded, banded, symmetric=True)
+
+
+def _sim_banded(sig: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, bval): the signature's 4 bands, derived
+    from the standing (doc_id, simhash) table by pure bit ops — no
+    shuffle, so the signature table alone is the state at rest."""
     bits_per_band = _SIMHASH_BITS // _SIM_BANDS
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
                  F.shiftright(F.col("simhash"), b * bits_per_band)
                  .bitwiseAND(F.lit((1 << bits_per_band) - 1)).alias("bval"))
         for b in range(_SIM_BANDS)])
-    banded = (sig.select("doc_id", "simhash", F.explode(band_arr).alias("bb"))
-              .select("doc_id", "simhash", F.col("bb.band").alias("band"),
-                      F.col("bb.bval").alias("bval")))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    return (sig.select("doc_id", "simhash", F.explode(band_arr).alias("bb"))
+            .select("doc_id", "simhash", F.col("bb.band").alias("band"),
+                    F.col("bb.bval").alias("bval")))
+
+
+def _sim_pairs(a_banded: DataFrame, b_banded: DataFrame,
+               symmetric: bool = False) -> DataFrame:
+    """Banded-join candidates + exact Hamming filter; the simhash rides
+    the band rows so the filter needs no signature re-join. Same
+    symmetric/asymmetric contract as ``cdc.lsh.canonical_pairs`` (the
+    hamming output column keeps this a separate shape)."""
+    a = a_banded.alias("a")
+    b = b_banded.alias("b")
+    ids = ((F.col("a.doc_id") < F.col("b.doc_id")) if symmetric
+           else (F.col("a.doc_id") != F.col("b.doc_id")))
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bval") == F.col("b.bval"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+                   & ids)
             .filter(ham <= _SIM_MAX_DIST)
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
+            .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
                     ham.cast("int").alias("hamming"))
             .distinct())
+
+
+# incremental oracle = the full pair extraction restricted to pairs
+# touching a new doc (new ids all >= 100000 -> the canonical greater id)
+_SIM_INCR_SQL = ORACLES["dedup_simhash_pairs"].replace(
+    "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3",
+    "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 AND b.doc_id >= 100000")
+assert "AND b.doc_id >= 100000" in _SIM_INCR_SQL
+
+
+@q("dedup_simhash_incr", _SIM_INCR_SQL)
+def dedup_simhash_incr(spark, sf_dir):
+    """INCREMENTAL SimHash pair extraction — the third dedup family's
+    ingest probe (MinHash: ``dedup_lsh_incr``; embeddings:
+    ``dedup_embed_lsh_incr``): signatures are a pure per-doc function,
+    so the batch (the injected duplicates) computes its own 32-bit
+    signatures and probes standing ∪ new via the banded Hamming join —
+    O(batch), pigeonhole-complete for distance <= 3, the standing corpus
+    is never re-hashed. Its bands derive from the standing (doc_id,
+    simhash) table by pure bit ops, so ONE long per doc is the whole
+    state at rest."""
+    d = _docs(spark, sf_dir)
+    new = (d.filter(F.col("doc_id") % 50 == 0)
+           .withColumn("doc_id", F.col("doc_id") + 100000))
+    standing = simhash_signatures(d)        # at rest in production
+    nb = _sim_banded(simhash_signatures(new)).localCheckpoint(eager=True)
+    return _sim_pairs(nb, _sim_banded(standing).unionByName(nb))
 
 
 # -- training-set assembly ops (split / quota / packing / decontamination) --

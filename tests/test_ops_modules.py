@@ -580,6 +580,29 @@ def test_minhash_pairs_incremental_equals_full(spark):
     assert a == b
 
 
+def test_simhash_incremental_equals_full(spark):
+    """The SimHash ingest probe must produce exactly the full banded
+    Hamming join's pairs that touch a new doc (pigeonhole completeness
+    carries over: the probe side holds every new doc's 4 bands)."""
+    from cdc.parity.textops import (_sim_banded, _sim_pairs,
+                                    simhash_signatures)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    old_rows = [(i, " ".join(words[i % 4:] * 2)) for i in range(12)]
+    new_rows = ([(100 + i, old_rows[i][1]) for i in (0, 5)]    # copies
+                + [(200, " ".join(reversed(words)))]           # fresh
+                + [(201, old_rows[2][1]), (202, old_rows[2][1])])
+    full_b = _sim_banded(simhash_signatures(mk(old_rows + new_rows)))
+    want = {(r.doc_a, r.doc_b, r.hamming) for r in
+            _sim_pairs(full_b, full_b, symmetric=True)
+            .filter(F.col("doc_b") >= 100).collect()}
+    nb = _sim_banded(simhash_signatures(mk(new_rows)))
+    standing = _sim_banded(simhash_signatures(mk(old_rows)))
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in
+           _sim_pairs(nb, standing.unionByName(nb)).collect()}
+    assert got == want and want
+
+
 def test_embed_lsh_incremental_equals_full(spark):
     """The vector twin of the minhash incremental property: batch bands
     probing the standing band table must produce exactly the full
