@@ -68,7 +68,8 @@ def minhash_bands(c: DataFrame) -> DataFrame:
 
 def canonical_pairs(a_side: DataFrame, b_side: DataFrame, id_col: str,
                     key_cols: tuple[str, ...], out_a: str, out_b: str,
-                    symmetric: bool = False) -> DataFrame:
+                    symmetric: bool = False,
+                    max_bucket: int | None = None) -> DataFrame:
     """Canonical candidate pairs (out_a < out_b) from two banded frames:
     equi-join on ``key_cols``, self-pairs dropped, duplicates (several
     shared buckets, both probe directions) collapsed. Shared by the
@@ -76,7 +77,29 @@ def canonical_pairs(a_side: DataFrame, b_side: DataFrame, id_col: str,
     (vec_id/(band, bval)) paths. ``symmetric=True`` (a self-join) keeps
     only the a < b half — same result, half the join output; an
     asymmetric probe MUST keep ``!=`` or it would miss pairs whose
-    smaller id is on the probe side."""
+    smaller id is on the probe side.
+
+    ``max_bucket`` — HOT-BUCKET GUARD for web scale: the join is
+    quadratic WITHIN a bucket, so one bucket holding k near-identical
+    docs emits k²/2 pairs (a million boilerplate copies -> 5·10¹¹ rows
+    out of one task). Buckets on the build side with more than
+    ``max_bucket`` members are dropped from the join (one extra
+    aggregation on the narrow band frame). Recall note: a pair sharing
+    ONLY oversized buckets is missed — at scale such docs are handled as
+    a bulk near-identical CLUSTER (every member of an oversized bucket
+    is a near-dup of every other; route the bucket itself to the dedup
+    decision instead of enumerating its pairs). Default None keeps the
+    exact oracle-checked semantics."""
+    if max_bucket is not None:
+        keep = (b_side.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") <= max_bucket)
+                .drop("_n"))
+        b_side = b_side.join(keep, list(key_cols), "left_semi")
+        if symmetric:
+            a_side = b_side
+        else:
+            a_side = a_side.join(keep, list(key_cols), "left_semi")
     a = a_side.alias("a")
     b2 = b_side.alias("b")
     cond = ((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) if symmetric
@@ -90,10 +113,11 @@ def canonical_pairs(a_side: DataFrame, b_side: DataFrame, id_col: str,
 
 
 def pairs_from_bands(a_bands: DataFrame, b_bands: DataFrame,
-                     symmetric: bool = False) -> DataFrame:
+                     symmetric: bool = False,
+                     max_bucket: int | None = None) -> DataFrame:
     """MinHash instantiation of ``canonical_pairs``."""
     return canonical_pairs(a_bands, b_bands, "doc_id", ("band", "bucket"),
-                           "doc_a", "doc_b", symmetric)
+                           "doc_a", "doc_b", symmetric, max_bucket)
 
 
 def minhash_pairs(c: DataFrame) -> DataFrame:

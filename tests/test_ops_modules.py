@@ -689,3 +689,29 @@ def test_star_cc_long_chain(spark):
     comp = {r.id: r.grp for r in
             connected_components_star(edges).collect()}
     assert set(comp.values()) == {0} and len(comp) == 17
+
+
+def test_canonical_pairs_hot_bucket_guard(spark):
+    """max_bucket drops oversized buckets from the pair join (both
+    sides), leaves small buckets untouched, and default None keeps the
+    exact semantics."""
+    from cdc.lsh import canonical_pairs
+    rows = ([(i, 0, "hot") for i in range(10)]      # 10-member bucket
+            + [(100, 0, "cold"), (101, 0, "cold")]  # 2-member bucket
+            + [(100, 1, "x"), (102, 1, "x")])
+    bands = spark.createDataFrame(rows, "doc_id long, band int, bucket string")
+    full = {(r.doc_a, r.doc_b) for r in canonical_pairs(
+        bands, bands, "doc_id", ("band", "bucket"), "doc_a", "doc_b",
+        symmetric=True).collect()}
+    assert len(full) == 45 + 1 + 1
+    capped = {(r.doc_a, r.doc_b) for r in canonical_pairs(
+        bands, bands, "doc_id", ("band", "bucket"), "doc_a", "doc_b",
+        symmetric=True, max_bucket=5).collect()}
+    assert capped == {(100, 101), (100, 102)}
+    # asymmetric probe: same guard on both sides
+    probe = spark.createDataFrame(
+        [(5, 0, "hot"), (101, 0, "cold")], "doc_id long, band int, bucket string")
+    got = {(r.doc_a, r.doc_b) for r in canonical_pairs(
+        probe, bands, "doc_id", ("band", "bucket"), "doc_a", "doc_b",
+        max_bucket=5).collect()}
+    assert got == {(100, 101)}
