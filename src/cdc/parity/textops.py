@@ -219,6 +219,37 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_pairs(_corpus(spark, sf_dir))
 
 
+_CAP_BUCKET = 2   # hot-bucket cap for the oracle-checked capped variant
+
+
+@q("dedup_lsh_capped", _SHINGLE_SQL + f""",
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SQL}),
+kept AS (
+  SELECT b.doc_id, b.band, b.bucket
+  FROM bands b JOIN (SELECT band, bucket FROM bands
+                     GROUP BY band, bucket
+                     HAVING count(*) <= {_CAP_BUCKET}) s
+    USING (band, bucket)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+""")
+def dedup_lsh_capped(spark, sf_dir):
+    """MinHash+LSH pairs under the HOT-BUCKET GUARD
+    (``canonical_pairs(max_bucket=...)``): buckets holding more than
+    ``_CAP_BUCKET`` docs are dropped from the join — at web scale a
+    boilerplate bucket with k members would emit k²/2 pairs from one
+    task; oversized buckets route to the dedup decision as bulk
+    near-identical clusters instead. The oracle applies the identical
+    per-(band, bucket) cap, so the dropped-pair semantics are
+    hash-checked, not just pytest-pinned."""
+    bands = minhash_bands(_corpus(spark, sf_dir))
+    return _pairs_from_bands(bands, bands, symmetric=True,
+                             max_bucket=_CAP_BUCKET)
+
+
 _GROUPS_CORPUS_SQL = f"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents
