@@ -74,6 +74,23 @@ class Bloom:
     def nbytes(self) -> int:
         return int(self.words.nbytes)
 
+    def broadcast(self, spark: SparkSession):
+        """The bitset as a SparkContext broadcast, created ONCE per Bloom
+        instance and reused by every later prefilter in the session —
+        a per-batch streaming caller no longer accumulates one broadcast
+        per call. Rebuilt automatically if the owning SparkContext was
+        restarted. Call ``unpersist()`` to reclaim executor memory early:
+        ``bloom.broadcast(spark).unpersist()`` (the next use re-ships);
+        the broadcast's lifetime is otherwise the Bloom's."""
+        sc = spark.sparkContext
+        cached = self.__dict__.get("_bc")
+        if cached is not None and cached[0] is sc:
+            return cached[1]
+        bc = sc.broadcast((self.words, self.n_bits, self.k))
+        # frozen dataclass: the cache is identity state, not value state
+        object.__setattr__(self, "_bc", (sc, bc))
+        return bc
+
 
 def build_bloom(df: DataFrame, col: str, expected: int,
                 bits_per_key: int = 10, k: int = BLOOM_K) -> Bloom:
@@ -118,9 +135,10 @@ def bloom_prefilter(df: DataFrame, col: str, bloom: Bloom) -> DataFrame:
     """Rows of ``df`` whose ``col`` MIGHT be in the filter — a map-side
     vectorized probe against the broadcast bitset (no shuffle, no join).
     Contains every true member plus ~(1/2^k) false positives: compose
-    with the exact join on the survivors for join-identical results."""
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((bloom.words, bloom.n_bits, bloom.k))
+    with the exact join on the survivors for join-identical results.
+    The bitset broadcast is cached on the Bloom (one ship per session,
+    however many prefilters probe it — see ``Bloom.broadcast``)."""
+    bc = bloom.broadcast(df.sparkSession)
 
     @F.pandas_udf(T.BooleanType())
     def might_contain(h: pd.Series) -> pd.Series:

@@ -187,9 +187,86 @@ def connected_components_star(edges: DataFrame, src: str = "src",
         f"rounds — pathological input (star converges in O(log^2 n))")
 
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _incremental_parts(prior: DataFrame, edges: DataFrame, src: str,
+                       dst: str, touched: DataFrame | None = None
+                       ) -> tuple[DataFrame, DataFrame, DataFrame,
+                                  DataFrame]:
+    """Shared body of the incremental CC forms. Returns
+    ``(merged, kept, fresh, sub)`` — every frame O(churn):
+
+    - ``sub``      — the prior rows of components TOUCHED by a new edge;
+    - ``merged``   — the CC replay of sub's star edges + the new edges;
+    - ``kept``     — sub rows the replay never saw (touched singletons
+                     whose only new edge was a self loop);
+    - ``fresh``    — brand-new self-loop-only nodes, as singletons.
+
+    ``touched`` — optional pre-computed one-column (grp) frame of the
+    touched component labels. Callers that keep the assignment in a
+    key-partitioned table can derive it from a partition-pruned point
+    read of the edge endpoints (``CdcTable.lookup_keys``) instead of the
+    full-prior semi join done here; it MUST contain the grp of every
+    prior row whose id appears in ``edges`` (a superset is correct,
+    merely less incremental).
+
+    ``prior`` is only ever SCANNED (semi/anti joins against small
+    broadcast sides) — never shuffled, never materialized."""
+    et = dict(edges.dtypes)
+
+    def norm(name: str, out: str):
+        # integral id types unify to long (int edges vs long prior would
+        # otherwise union-coerce per call site); anything else — string
+        # md5 keys, decimals — passes through unchanged, matching the
+        # type-agnostic full recompute. A lossy silent cast (string ->
+        # long NULL) can no longer happen: non-integral types are never
+        # cast, and a genuine prior/edges type mismatch fails loudly in
+        # the union below.
+        c = F.col(name)
+        return (c.cast("long") if et[name] in _INTEGRAL else c).alias(out)
+
+    raw = (edges.select(norm(src, "src"), norm(dst, "dst"))
+           # consumed several times below (node set, replay union) — cut
+           # whatever expensive LSH plan produced it
+           .localCheckpoint(eager=True))
+    # node set BEFORE dropping self loops: a self-loop-only node must
+    # still land in the output (as its prior row, or a new singleton)
+    nodes = (raw.select(F.col("src").alias("id"))
+             .unionAll(raw.select(F.col("dst").alias("id"))).distinct())
+    e = raw.filter(F.col("src") != F.col("dst"))
+    if touched is None:
+        touched = (prior.join(nodes, "id", "left_semi")
+                   .select("grp").distinct())
+    else:
+        touched = touched.select("grp").distinct()
+    # a USING join moves the key column first — re-select (id, grp) so the
+    # unions below stay positional-safe. sub is consumed up to three times
+    # (star edges, kept, the callers' changed-row anti join), each a scan
+    # of the full prior — materialize the O(churn) subset once instead.
+    sub = (prior.join(touched, "grp", "left_semi").select("id", "grp")
+           .localCheckpoint(eager=True))
+    star_edges = (sub.filter(F.col("id") != F.col("grp"))
+                  .select(F.col("id").alias("src"),
+                          F.col("grp").alias("dst")))
+    merged = connected_components(star_edges.unionAll(e))
+    # prior rows the replay never saw: touched singletons (id == grp, no
+    # star edge) whose only new edge was a self loop keep their row
+    kept = sub.join(merged, "id", "left_anti").select("id", "grp")
+    # brand-new self-loop-only nodes (in no real edge, absent from prior)
+    # become singletons. nodes∩prior ⊆ sub by construction (a prior row
+    # with an edge endpoint id has a touched grp), so the not-in-prior
+    # test anti-joins the O(churn) sub — NEVER the full prior.
+    fresh = (nodes.join(merged, "id", "left_anti")
+             .join(sub, "id", "left_anti")
+             .select(F.col("id"), F.col("id").alias("grp")))
+    return merged, kept, fresh, sub
+
+
 def connected_components_incremental(prior: DataFrame, edges: DataFrame,
-                                     src: str = "src",
-                                     dst: str = "dst") -> DataFrame:
+                                     src: str = "src", dst: str = "dst",
+                                     touched: DataFrame | None = None
+                                     ) -> DataFrame:
     """Merge NEW candidate-pair edges into a PRIOR (id, grp) assignment —
     the continuous-dedup shape: as a corpus grows, each ingest emits LSH
     pairs only for the new documents, and recomputing components over
@@ -209,36 +286,37 @@ def connected_components_incremental(prior: DataFrame, edges: DataFrame,
     construction — property-pinned in tests. New nodes (absent from
     ``prior``) may appear on either side of a new edge. Output: (id, grp),
     grp = smallest reachable node id, same contract as
-    ``connected_components``."""
-    raw = (edges.select(F.col(src).cast("long").alias("src"),
-                        F.col(dst).cast("long").alias("dst"))
-           # consumed several times below (node set, replay union) — cut
-           # whatever expensive LSH plan produced it
-           .localCheckpoint(eager=True))
-    # node set BEFORE dropping self loops: a self-loop-only node must
-    # still land in the output (as its prior row, or a new singleton)
-    nodes = (raw.select(F.col("src").alias("id"))
-             .unionAll(raw.select(F.col("dst").alias("id"))).distinct())
-    e = raw.filter(F.col("src") != F.col("dst"))
-    touched = (prior.join(nodes, "id", "left_semi")
-               .select("grp").distinct())
-    # a USING join moves the key column first — re-select (id, grp) so the
-    # unions below stay positional-safe
-    sub = prior.join(touched, "grp", "left_semi").select("id", "grp")
-    untouched = prior.join(touched, "grp", "left_anti").select("id", "grp")
-    star_edges = (sub.filter(F.col("id") != F.col("grp"))
-                  .select(F.col("id").alias("src"),
-                          F.col("grp").alias("dst")))
-    merged = connected_components(star_edges.unionAll(e))
-    # prior rows the replay never saw: touched singletons (id == grp, no
-    # star edge) whose only new edge was a self loop keep their row
-    kept = sub.join(merged, "id", "left_anti").select("id", "grp")
-    # brand-new self-loop-only nodes (in no real edge, absent from prior)
-    # become singletons
-    fresh = (nodes.join(merged, "id", "left_anti")
-             .join(prior, "id", "left_anti")
-             .select(F.col("id"), F.col("id").alias("grp")))
+    ``connected_components``. Standing-state maintainers that only need
+    the rows that DIFFER from prior should call
+    ``connected_components_incremental_delta`` instead — it skips the
+    O(corpus)-row untouched passthrough entirely."""
+    merged, kept, fresh, sub = _incremental_parts(prior, edges, src, dst,
+                                                  touched)
+    untouched = (prior.join(sub.select("grp").distinct(), "grp",
+                            "left_anti").select("id", "grp"))
     return merged.unionAll(kept).unionAll(fresh).unionAll(untouched)
+
+
+def connected_components_incremental_delta(
+        prior: DataFrame, edges: DataFrame, src: str = "src",
+        dst: str = "dst", touched: DataFrame | None = None) -> DataFrame:
+    """ONLY the assignment rows that CHANGED (or are new) when merging
+    ``edges`` into ``prior`` — the O(churn) upsert frame of a continuous
+    dedup pipeline. Provably equal to
+    ``connected_components_incremental(...) ⟕anti prior on (id, grp)``:
+    untouched rows equal their prior rows by construction and can never
+    survive that anti join, and ``kept ⊆ prior`` likewise — only
+    ``merged ∪ fresh`` can. For merged rows, membership in prior equals
+    membership in the touched subset ``sub`` (a prior row whose id is a
+    replay node has a touched grp), so the anti join runs against the
+    O(churn) sub, never the corpus. Per epoch nothing here shuffles,
+    scans, or materializes more than O(churn) + one broadcast-semi pass
+    over prior (zero full passes when ``touched`` is supplied from a
+    partition-pruned table probe)."""
+    merged, _kept, fresh, sub = _incremental_parts(prior, edges, src, dst,
+                                                   touched)
+    changed = merged.join(sub, ["id", "grp"], "left_anti")
+    return changed.unionAll(fresh)
 
 
 def dedup_keepers(components: DataFrame) -> DataFrame:

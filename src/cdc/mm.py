@@ -52,14 +52,14 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload",
                       id_col: str = "doc_id", fake: bool = True) -> DataFrame:
     """Decode image metadata from a binary column via ``mapInPandas``.
 
-    ``fake=True`` (default in this container) uses the deterministic fake
-    decoder; ``fake=False`` is the real-codec seam and raises until a codec
-    library is available.
+    ``fake=True`` (default) uses the deterministic fake decoder;
+    ``fake=False`` decodes REAL bytes: uncompressed P6 PPM payloads are
+    parsed honestly (``decode_ppm_meta``); compressed codecs (png/jpeg)
+    raise until a codec library is available — the plumbing is
+    codec-agnostic either way.
     """
     if not fake:
-        raise NotImplementedError(
-            "real image decode needs PIL/libvips, not present in this "
-            "container; the mapInPandas plumbing below is codec-agnostic")
+        return decode_ppm_meta(df, payload_col, id_col)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -75,6 +75,85 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload",
             yield meta
 
     return df.select(id_col, payload_col).mapInPandas(decode, META_SCHEMA)
+
+
+PPM_META_SCHEMA = ("doc_id bigint, n_bytes bigint, width int, height int, "
+                   "maxval int, fmt string, ok boolean, px_first int, "
+                   "px_last int")
+
+
+def with_ppm_payload(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     out_col: str = "payload") -> DataFrame:
+    """Materialize a REAL binary image payload: a P6 (binary) PPM whose
+    dimensions derive from the id and whose RGB bytes are the arithmetic
+    ramp ``(len(text) + k) % 256`` — every byte of the file, header
+    included, is a deterministic pure function of (id, text), so an
+    oracle can predict exactly what an honest decoder must find. Built
+    JVM-side: header as a concat'd string, pixels as a transformed byte
+    sequence packed through conv/unhex — no Python in the encode path."""
+    w = (F.pmod(F.col(id_col), F.lit(24)) + 8).cast("int")          # 8..31
+    h = (F.pmod(F.col(id_col) * 7, F.lit(24)) + 8).cast("int")      # 8..31
+    n_px = (w * h * 3).cast("int")
+    base = F.length(F.col(text_col)) % 256
+    # pixel k = (base + k) % 256, emitted as a hex pair and unhex'd into
+    # the binary body (array_join over a sequence transform — one codegen
+    # expression, no UDF)
+    hex_body = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_px - 1),
+                    lambda k: F.lpad(F.conv(F.pmod(base + k, F.lit(256))
+                                            .cast("string"), 10, 16), 2, "0")),
+        "")
+    header = F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                      h.cast("string"), F.lit("\n255\n"))
+    return df.withColumn(
+        out_col, F.concat(F.encode(header, "utf-8"), F.unhex(hex_body)))
+
+
+def decode_ppm_meta(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "doc_id") -> DataFrame:
+    """REAL byte decode of P6 PPM payloads through the same Arrow
+    ``mapInPandas`` seam as the fake decoder: parse the text header
+    (magic, dimensions, maxval), then read actual pixel bytes (first and
+    last — proving the parser located the raster correctly at both
+    ends). Non-PPM payloads come back ok=false with NULL metadata rather
+    than poisoning the batch; truncated rasters are ok=false too."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_bytes", "width", "height",
+                                   "maxval", "fmt", "ok", "px_first",
+                                   "px_last")}
+            for did, blob in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(blob)
+                row = dict(doc_id=int(did), n_bytes=len(b), width=None,
+                           height=None, maxval=None, fmt=None, ok=False,
+                           px_first=None, px_last=None)
+                try:
+                    if b[:3] == b"P6\n":
+                        # header: "P6\n<w> <h>\n<maxval>\n" then raster
+                        nl2 = b.index(b"\n", 3)
+                        nl3 = b.index(b"\n", nl2 + 1)
+                        ws, hs = b[3:nl2].split(b" ")
+                        w, hgt = int(ws), int(hs)
+                        maxval = int(b[nl2 + 1:nl3])
+                        raster = b[nl3 + 1:]
+                        if len(raster) == w * hgt * 3 and w > 0 and hgt > 0:
+                            row.update(width=w, height=hgt, maxval=maxval,
+                                       fmt="ppm", ok=True,
+                                       px_first=raster[0],
+                                       px_last=raster[-1])
+                except (ValueError, IndexError):
+                    pass   # malformed header/raster: stays ok=False
+                for k, v in row.items():
+                    out[k].append(v)
+            o = pd.DataFrame(out)
+            for c in ("width", "height", "maxval", "px_first", "px_last"):
+                o[c] = o[c].astype("Int32")
+            yield o
+
+    return df.select(id_col, payload_col).mapInPandas(decode,
+                                                      PPM_META_SCHEMA)
 
 
 def sample_frames(df: DataFrame, payload_col: str = "payload",

@@ -39,6 +39,38 @@ def mm_decode_meta(spark, sf_dir):
     return decode_image_meta(with_binary_payload(d))
 
 
+@q("mm_decode_ppm", """
+WITH m AS (
+  SELECT doc_id,
+         CAST(doc_id % 24 + 8 AS INT) AS width,
+         CAST((doc_id * 7) % 24 + 8 AS INT) AS height,
+         length(text) % 256 AS base
+  FROM documents
+), n AS (
+  SELECT doc_id, width, height, base,
+         width * height * 3 AS n_px FROM m
+)
+SELECT doc_id,
+       CAST(3 + length(CAST(width AS VARCHAR)) + 1
+              + length(CAST(height AS VARCHAR)) + 5 + n_px AS BIGINT) AS n_bytes,
+       width, height, CAST(255 AS INT) AS maxval, 'ppm' AS fmt, true AS ok,
+       CAST(base AS INT) AS px_first,
+       CAST((base + n_px - 1) % 256 AS INT) AS px_last
+FROM n
+""")
+def mm_decode_ppm(spark, sf_dir):
+    """REAL image-byte decode: each document becomes an actual binary P6
+    PPM file (header + RGB raster, built JVM-side), and
+    ``cdc.mm.decode_ppm_meta`` parses those bytes back through the Arrow
+    ``mapInPandas`` seam — magic, dimensions, maxval from the text
+    header; first/last pixel values from the raster itself. The oracle
+    predicts every field arithmetically from (doc_id, text), so any
+    parser shortcut (fabricated dims, unread raster) hash-mismatches."""
+    from cdc.mm import decode_image_meta, with_ppm_payload
+    d = load(spark, sf_dir, "documents")
+    return decode_image_meta(with_ppm_payload(d), fake=False)
+
+
 @q("mm_sample_frames", """
 WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
 f AS (

@@ -359,31 +359,14 @@ def dedup_simhash(spark, sf_dir):
 
 
 def simhash_signatures(c: DataFrame) -> DataFrame:
-    """(doc_id, simhash) 32-bit SimHash per document — a pure per-doc
-    function (bitwise majority of distinct-word hashes), so like the
-    MinHash/hyperplane band tables it is STANDING STATE a continuous
-    pipeline appends to, never recomputes."""
-    w = (c.select("doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
-         .dropDuplicates(["doc_id", "word"]))
-    h = w.select("doc_id",
-                 F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long").alias("h"))
-    bit_votes = [
-        F.sum(F.when((F.col("h").bitwiseAND(F.lit(1 << j))) > 0, 1).otherwise(-1)).alias(f"v{j}")
-        for j in range(_SIMHASH_BITS)]
-    votes = h.groupBy("doc_id").agg(*bit_votes)
-    sim = None
-    for j in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+    """Engine operator (``cdc.simhash.simhash_signatures``) — re-exported
+    here so the oracle pairs stay next to their SQL."""
+    from cdc.simhash import simhash_signatures as _sig
+    return _sig(c)
 
 
-_SIM_BANDS = 4          # bands over the 32-bit signature -> 8 bits per band
-                        # (256 values/band keeps the bucket join fan-out
-                        # sub-quadratic at corpus scale)
-_SIM_MAX_DIST = 3       # pigeonhole: <= 3 differing bits can corrupt at most
-                        # 3 of the 4 bands, so one band ALWAYS matches ->
-                        # the banded join finds every pair with dist <= 3
+# banding parameters live with the engine operator: cdc.simhash
+# (SIM_BANDS=4 over the 32 bits; SIM_MAX_DIST=3 is pigeonhole-complete)
 
 
 @q("dedup_simhash_pairs", _CORPUS_SQL + """,
@@ -412,39 +395,16 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 def _sim_banded(sig: DataFrame) -> DataFrame:
-    """(doc_id, simhash, band, bval): the signature's 4 bands, derived
-    from the standing (doc_id, simhash) table by pure bit ops — no
-    shuffle, so the signature table alone is the state at rest."""
-    bits_per_band = _SIMHASH_BITS // _SIM_BANDS
-    band_arr = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.shiftright(F.col("simhash"), b * bits_per_band)
-                 .bitwiseAND(F.lit((1 << bits_per_band) - 1)).alias("bval"))
-        for b in range(_SIM_BANDS)])
-    return (sig.select("doc_id", "simhash", F.explode(band_arr).alias("bb"))
-            .select("doc_id", "simhash", F.col("bb.band").alias("band"),
-                    F.col("bb.bval").alias("bval")))
+    """Engine operator (``cdc.simhash.sim_banded``)."""
+    from cdc.simhash import sim_banded
+    return sim_banded(sig)
 
 
 def _sim_pairs(a_banded: DataFrame, b_banded: DataFrame,
                symmetric: bool = False) -> DataFrame:
-    """Banded-join candidates + exact Hamming filter; the simhash rides
-    the band rows so the filter needs no signature re-join. Same
-    symmetric/asymmetric contract as ``cdc.lsh.canonical_pairs`` (the
-    hamming output column keeps this a separate shape)."""
-    a = a_banded.alias("a")
-    b = b_banded.alias("b")
-    ids = ((F.col("a.doc_id") < F.col("b.doc_id")) if symmetric
-           else (F.col("a.doc_id") != F.col("b.doc_id")))
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bval") == F.col("b.bval"))
-                   & ids)
-            .filter(ham <= _SIM_MAX_DIST)
-            .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-                    ham.cast("int").alias("hamming"))
-            .distinct())
+    """Engine operator (``cdc.simhash.sim_pairs``)."""
+    from cdc.simhash import sim_pairs
+    return sim_pairs(a_banded, b_banded, symmetric)
 
 
 # incremental oracle = the full pair extraction restricted to pairs

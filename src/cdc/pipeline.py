@@ -252,18 +252,32 @@ def replay(
             # reorder_horizon caveat as the full-tail path).
             log = log.filter(
                 F.col("lsn") > max(-1, after - max(0, reorder_horizon)))
-        bids = [r[0] for r in log.select("batch_id").distinct().orderBy("batch_id").collect()]
-        for i in range(0, len(bids), batches_per_commit):
-            group = bids[i : i + batches_per_commit]
-            lo, hi = group[0], group[-1]
+        # commit groups from RANGE ARITHMETIC over one (min, max) agg — the
+        # driver never holds the distinct batch_id list (O(#producer
+        # batches) at 10^10-event scale); a group is k consecutive id
+        # VALUES, so sparse producers get thinner groups, never more driver
+        # memory. Gap-only groups no-op via apply_batch's empty-tail guard
+        # and are counted as skipped.
+        bounds = log.agg(F.min("batch_id").alias("lo"),
+                         F.max("batch_id").alias("hi")).first()
+        start = 0 if bounds["lo"] is None else int(bounds["lo"])
+        stop = -1 if bounds["hi"] is None else int(bounds["hi"])
+        for lo in range(start, stop + 1, max(1, batches_per_commit)):
+            hi = min(lo + batches_per_commit - 1, stop)
             key = _group_key(lo, hi)
             if table.is_committed(key):
                 res.n_skipped += 1
                 continue
             sub = log.filter((F.col("batch_id") >= lo) & (F.col("batch_id") <= hi))
-            apply_batch(spark, table, sub, key, normalize, lww_via, metrics, mode)
-            res.n_commits += 1
-            res.batch_keys.append(key)
+            before = table.current_snapshot()
+            snap = apply_batch(spark, table, sub, key, normalize, lww_via,
+                               metrics, mode)
+            if snap is None or (before is not None
+                                and snap["snapshot_id"] == before["snapshot_id"]):
+                res.n_skipped += 1
+            else:
+                res.n_commits += 1
+                res.batch_keys.append(key)
 
     res.lsn_high = table.lsn_high()
     res.wall_ms = int((time.monotonic() - t0) * 1000)

@@ -209,6 +209,13 @@ def _mor_batches(files: list, target, include_deleted: bool,
     yield from pa.table(cols, schema=target).to_batches()
 
 
+#: fail-fast bound for the pure-Python patch-MOR fold below — one task's
+#: partition only, so this is per-part, not per-table (mirrors
+#: cdc.vectors.guard_quadratic's philosophy: the slow path exists for
+#: compatibility and small state, and says so when pointed at scale)
+PATCH_MOR_MAX_ROWS = 2_000_000
+
+
 def _patch_mor_batches(files: list, target, include_deleted: bool,
                        commit_id: int, key_cols: tuple) -> Iterator:
     """Patch-image twin of ``_mor_batches``: fold ONE table partition's
@@ -221,7 +228,10 @@ def _patch_mor_batches(files: list, target, include_deleted: bool,
     A plain per-key python fold over the part's rows: this source is the
     compatibility read surface (one part per task, patch layers are
     batch-sized); the scale path for heavy patch-MOR reads is
-    ``CdcTable.read``'s codegen fold."""
+    ``CdcTable.read``'s codegen fold. Guarded (ADVICE r3): a partition
+    whose uncompacted base+patch rows exceed ``PATCH_MOR_MAX_ROWS``
+    fails fast with a compact-first pointer instead of silently
+    materializing it row-by-row in Python."""
     import hashlib
 
     import pyarrow as pa
@@ -251,6 +261,13 @@ def _patch_mor_batches(files: list, target, include_deleted: bool,
         tabs.append(tab.append_column(
             "_is_patch", pa.array([is_patch] * tab.num_rows)))
     t = pa.concat_tables(tabs)
+    if t.num_rows > PATCH_MOR_MAX_ROWS:
+        raise ValueError(
+            f"patch-MOR partition holds {t.num_rows:,} uncompacted "
+            f"base+patch rows (> {PATCH_MOR_MAX_ROWS:,}) — the DataSource "
+            f"folds these in pure Python (compatibility surface only); "
+            f"run maintenance.compact first, or use CdcTable.read's "
+            f"codegen fold for large uncompacted patch-MOR tables")
     order = [(k, "ascending") for k in key_cols] + [("_layer", "ascending")]
     t = t.take(pc.sort_indices(t, sort_keys=order))
     rows = t.to_pylist()

@@ -401,18 +401,21 @@ def verify_table(spark: SparkSession, table: CdcTable,
             by_ddl.setdefault(f["columns"], []).append(
                 os.path.join(table.root, f["path"]))
         bad_sha = bad_part = 0
-        part_checked = sha_checked = False
+        # coverage accounting (don't let a silently-skipped pre-rename
+        # file group read as "fully audited"): every file lands in
+        # files_data_checked or files_data_skipped, and per-group skips
+        # are reported back even when other groups did get checked
+        files_data_checked = files_data_skipped = 0
+        skipped_groups: list[str] = []
         for ddl, paths in sorted(by_ddl.items()):
             d = spark.read.schema(ddl).parquet(*paths)
             checks = []
             if "content" in d.columns and "_content_sha256" in d.columns:
-                sha_checked = True
                 viol = (F.col("content").isNotNull()
                         & ~F.sha2(F.col("content"), 256)
                            .eqNullSafe(F.col("_content_sha256")))
                 checks.append(F.sum(viol.cast("long")).alias("bad_sha"))
-            if all(c in d.columns for c in table.key_cols):
-                part_checked = True
+            if all(c in d.columns for c in table.part_cols):
                 # materialized in a projection first: non-deterministic
                 # expressions (input_file_name) may not appear inside an agg
                 d = d.withColumn(
@@ -423,7 +426,10 @@ def verify_table(spark: SparkSession, table: CdcTable,
                     F.sum((F.col("_stored_part") != table.part_of())
                           .cast("long")).alias("bad_part"))
             if not checks:
+                files_data_skipped += len(paths)
+                skipped_groups.append(ddl)
                 continue
+            files_data_checked += len(paths)
             row = d.agg(*checks).collect()[0].asDict()
             bad_sha += row.get("bad_sha") or 0
             bad_part += row.get("bad_part") or 0
@@ -433,11 +439,11 @@ def verify_table(spark: SparkSession, table: CdcTable,
         if bad_part:
             errors.append(f"{bad_part} stored rows sit in the wrong "
                           f"partition for their key")
-        if not (sha_checked or part_checked):
-            # no applicable data checks (e.g. no content column and key
-            # columns renamed in the files) — metadata tier is the result
-            return {"ok": not errors, "errors": errors,
-                    "files_checked": len(files)}
+        return {"ok": not errors, "errors": errors,
+                "files_checked": len(files),
+                "files_data_checked": files_data_checked,
+                "files_data_skipped": files_data_skipped,
+                "skipped_groups": skipped_groups}
     return {"ok": not errors, "errors": errors,
             "files_checked": len(files)}
 

@@ -144,7 +144,8 @@ class CdcTable:
     def __init__(self, root: str, key_cols: Sequence[str] = ("repo", "path"),
                  n_partitions: int = 16, files_per_partition: int = 1,
                  layout: str = "repo_hash", bloom_filters: bool | None = None,
-                 stats_cols: Sequence[str] = ()):
+                 stats_cols: Sequence[str] = (),
+                 part_cols: Sequence[str] | None = None):
         """``layout``:
         - 'repo_hash' — part = pmod(xxhash64(repo), P): partition pruning
           by repo; the committer repartitions on (part, file_group).
@@ -154,9 +155,24 @@ class CdcTable:
           key) and skips its repartition — one wide shuffle per commit
           total. The trade: partition pruning by repo alone is lost (the
           merge's touched-partition pruning, keyed on the full key, is
-          unaffected)."""
+          unaffected).
+
+        ``part_cols`` — OPTIONAL partition-column override (default: the
+        key columns). Lays the table out by the columns READS probe
+        instead of the columns writes key on — e.g. a continuous-dedup
+        band table keyed (doc_id, band) but partitioned by
+        (band, bucket), so an ingest probe prunes to the batch's bucket
+        partitions while LWW identity stays per (doc_id, band). CONTRACT:
+        every part column must be (a) present in every committed frame
+        and (b) IMMUTABLE per key — two versions of one key landing in
+        different partitions would make the merge's touched-partition
+        read miss the old row and LWW would silently keep both. When the
+        override differs from the key columns the committer adds its own
+        repartition on the partition id (upstream LWW clustering is by
+        key, which no longer equals the partition function)."""
         self.root = root
         self.key_cols = tuple(key_cols)
+        self.part_cols = tuple(part_cols) if part_cols else tuple(key_cols)
         self.n_partitions = n_partitions
         self.files_per_partition = files_per_partition
         if layout not in ("repo_hash", "key_hash"):
@@ -181,10 +197,12 @@ class CdcTable:
         self.writer_token = uuid.uuid4().hex[:8]
 
     def part_of(self):
-        """This table's partition Column (a pure function of the key)."""
+        """This table's partition Column (a pure function of the
+        partition columns — the key columns unless ``part_cols``
+        overrides them)."""
         if self.layout == "key_hash":
-            return key_part_expr(self.key_cols, self.n_partitions)
-        return part_expr(self.key_cols[0], self.n_partitions)
+            return key_part_expr(self.part_cols, self.n_partitions)
+        return part_expr(self.part_cols[0], self.n_partitions)
 
     # -- partition-spec persistence -------------------------------------------
     def table_config(self) -> dict:
@@ -197,14 +215,17 @@ class CdcTable:
         return {"key_cols": list(self.key_cols),
                 "n_partitions": self.n_partitions,
                 "layout": self.layout,
-                "files_per_partition": self.files_per_partition}
+                "files_per_partition": self.files_per_partition,
+                "part_cols": list(self.part_cols)}
 
     def _check_config(self, parent: dict | None) -> None:
         cfg = (parent or {}).get("table_config")
         if not cfg:
             return
+        # snapshots predating the part_cols seam partitioned by the key
+        cfg = {**cfg, "part_cols": cfg.get("part_cols", cfg["key_cols"])}
         ours = self.table_config()
-        for k in ("key_cols", "n_partitions", "layout"):
+        for k in ("key_cols", "n_partitions", "layout", "part_cols"):
             if cfg[k] != ours[k]:
                 raise ValueError(
                     f"table at {self.root} was committed with {k}={cfg[k]!r}"
@@ -231,6 +252,7 @@ class CdcTable:
                    n_partitions=int(cfg["n_partitions"]),
                    layout=cfg["layout"],
                    files_per_partition=int(cfg.get("files_per_partition", 1)),
+                   part_cols=tuple(cfg.get("part_cols") or cfg["key_cols"]),
                    **overrides)
 
     # -- metadata ------------------------------------------------------------
@@ -565,6 +587,13 @@ class CdcTable:
         if missing or extra:
             raise ValueError(f"lookup needs exactly the key columns "
                              f"{self.key_cols}; missing={missing} extra={extra}")
+        beyond = [c for c in self.part_cols if c not in self.key_cols]
+        if beyond:
+            raise ValueError(
+                f"table is partitioned by {self.part_cols} — columns "
+                f"{beyond} are not part of the key, so a key-only probe "
+                f"cannot locate the partition; use lookup_keys with a "
+                f"probe frame carrying those columns, or read()")
         # evaluate the partition function with Spark's own hash on a local
         # 1-row relation (no files touched; constant-folds to one task)
         probe = spark.range(1).select(
@@ -582,10 +611,19 @@ class CdcTable:
         partition ids are collected first — bounded by ``n_partitions``
         regardless of probe size (pmod range), never by the keys — and the
         table read is manifest-pruned to those; a left-semi join keeps the
-        probed keys (AQE broadcasts the probe side when it is small)."""
-        probe = keys_df.select(*self.key_cols)
+        probed keys (AQE broadcasts the probe side when it is small).
+        When ``part_cols`` extends beyond the key, ``keys_df`` must also
+        carry those columns so the partition ids are computable."""
+        beyond = [c for c in self.part_cols if c not in self.key_cols]
+        lacking = [c for c in beyond if c not in keys_df.columns]
+        if lacking:
+            raise ValueError(
+                f"table is partitioned by {self.part_cols}; the probe "
+                f"frame must carry {lacking} to locate partitions")
+        probe = keys_df.select(*dict.fromkeys(self.key_cols + tuple(beyond)))
         parts = sorted(r["p"] for r in
                        probe.select(self.part_of().alias("p")).distinct().collect())
+        probe = probe.select(*self.key_cols)
         df = self.read(spark, parts=parts)
         if df is None:
             return None
@@ -666,7 +704,12 @@ class CdcTable:
             # values and partitionBy routes rows without moving them. One
             # wide shuffle per commit total. (An unclustered input frame is
             # still CORRECT — partitionBy splits per task — just writes
-            # more, smaller files.)
+            # more, smaller files.) A part_cols OVERRIDE breaks that
+            # alignment (clustering is by key, partition id is not), so it
+            # pays an explicit repartition on the id to keep file counts
+            # at one per touched partition.
+            if self.part_cols != self.key_cols:
+                df = df.repartition(self.n_partitions, PART_COL)
             (df.sortWithinPartitions(*self.key_cols)
                .write.mode("overwrite").options(**bloom)
                .partitionBy(PART_COL).parquet(out_dir))

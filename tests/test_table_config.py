@@ -284,7 +284,11 @@ def test_verify_table_fsck(spark, tmp_path):
     apply_batch(spark, t, ev(spark, ROWS), "b0",
                 normalize=False, metrics=False)
     rep = verify_table(spark, t, check_data=True)
-    assert rep == {"ok": True, "errors": [], "files_checked": rep["files_checked"]}
+    assert rep["ok"] and rep["errors"] == []
+    # full data-tier coverage must be visible, not implied (ADVICE r3):
+    # every file checked, none skipped, no pre-rename groups left out
+    assert rep["files_data_checked"] == rep["files_checked"] > 0
+    assert rep["files_data_skipped"] == 0 and rep["skipped_groups"] == []
 
     snap = t.current_snapshot()
     victims = [f for f in snap["files"] if int(f["rows"]) > 0]
