@@ -1,0 +1,177 @@
+"""Incremental ANN ingest: the IVF assignment as STANDING ENGINE STATE.
+
+``cdc.vectors`` gives IVF its one-shot form (train / assign / search over
+DataFrames). This module gives it the same treatment the dedup families
+got: a ``CdcTable`` holds (vec_id, embedding, centroid) as transactional,
+time-travelable state; each ingest batch is assigned O(batch) against the
+broadcast centroid set and committed under the exactly-once epoch ledger;
+search reads the STANDING table pruned to the probed centroids'
+partitions — never a corpus scan, never a re-assignment.
+
+Layout: key = (vec_id,) — the LWW upsert unit — but ``part_cols`` =
+(centroid,), so partition id = pmod(hash(centroid), P): a search with
+``nprobe`` probes reads at most nprobe×|queries| partitions' files
+(manifest pruning), and all vectors of one coarse cluster are physically
+co-located. The part_cols contract (partition columns immutable per key)
+holds because assignment against a FIXED quantizer is deterministic:
+re-ingesting a vector lands the same centroid.
+
+Drift / re-train seam: the quantizer is frozen at ``train_on`` time and
+stored IN the table (a ``properties`` entry — versioned with the
+snapshots, so time travel reads the centroids that produced that
+snapshot's assignment). When ingest drift degrades recall (monitor
+``assignment_stats``: falling mean cos-to-centroid), REBUILD into a fresh
+root with ``retrain_into`` — re-assigning in place would move keys across
+partitions mid-table, which the layout contract forbids; an atomic
+catalog/pointer swap to the new root is the production cutover, exactly
+Iceberg's rewrite-then-swap shape.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc.table.table import CdcTable
+from cdc.vectors import cosine_topk, ivf_assign, ivf_query_probes, ivf_train
+
+CENTROIDS_PROP = "ivf.centroids"
+
+
+def _as_batch(df: DataFrame, lsn: int, key: str) -> DataFrame:
+    return (df.withColumn("lsn", F.lit(int(lsn)).cast("long"))
+            .withColumn("ts", F.timestamp_seconds(F.lit(int(lsn))))
+            .withColumn("op", F.lit("U"))
+            .withColumn("batch_id", F.lit(key)))
+
+
+class IvfIndex:
+    """Standing IVF index over a (vec_id, embedding) stream."""
+
+    def __init__(self, root: str, n_partitions: int = 16):
+        self.table = CdcTable(root, key_cols=("vec_id",),
+                              n_partitions=n_partitions, layout="key_hash",
+                              part_cols=("centroid",))
+
+    # -- quantizer lifecycle ---------------------------------------------------
+    def centroids(self, spark: SparkSession) -> DataFrame | None:
+        """The frozen quantizer as a (cid, cemb) frame, from the table's
+        own properties (None before training)."""
+        snap = self.table.current_snapshot()
+        raw = ((snap or {}).get("properties") or {}).get(CENTROIDS_PROP)
+        if raw is None:
+            return None
+        rows = [(int(c["cid"]), [float(x) for x in c["cemb"]])
+                for c in json.loads(raw)]
+        return spark.createDataFrame(rows, "cid int, cemb array<double>")
+
+    def train_on(self, spark: SparkSession, vecs: DataFrame, key: str,
+                 n_centroids: int = 8, iters: int = 0) -> None:
+        """Train the quantizer on the FIRST batch and commit both the
+        batch's assignment and the centroid property (two commits, each
+        idempotent; a crash between them re-trains deterministically from
+        the committed assignment's embeddings on replay)."""
+        if self.centroids(spark) is not None:
+            return
+        if not self.table.is_committed(key):
+            cent = ivf_train(vecs.select("vec_id", "embedding"),
+                             n_centroids, iters)
+            self._commit_assigned(spark, vecs, cent, key)
+        else:
+            # crash-heal: re-derive the same centroids from committed state
+            cent = ivf_train(self.table.read(spark)
+                             .select("vec_id", "embedding"),
+                             n_centroids, iters)
+        from cdc.table import alter
+        payload = json.dumps([
+            {"cid": r["cid"], "cemb": list(r["cemb"])}
+            for r in sorted(cent.collect(), key=lambda r: r["cid"])])
+        alter.set_property(self.table, CENTROIDS_PROP, payload)
+
+    # -- ingest ------------------------------------------------------------------
+    def ingest(self, spark: SparkSession, vecs: DataFrame,
+               key: str) -> None:
+        """Assign ONE ingest batch against the broadcast quantizer and
+        MERGE it into the standing table — O(batch) compute, O(touched
+        centroid partitions) write, exactly-once per ``key``."""
+        if self.table.is_committed(key):
+            return
+        cent = self.centroids(spark)
+        if cent is None:
+            raise ValueError("index has no trained quantizer — call "
+                             "train_on with the first batch")
+        self._commit_assigned(spark, vecs, cent, key)
+
+    def _commit_assigned(self, spark, vecs, cent, key):
+        assigned = (ivf_assign(vecs.select("vec_id", "embedding"), cent)
+                    .select("vec_id", "embedding", "centroid",
+                            F.round("cos", 6).alias("cos6")))
+        lsn = self.table.lsn_high() + 1
+        self.table.commit_merge(spark, _as_batch(assigned, lsn, key), key)
+
+    # -- read side ----------------------------------------------------------------
+    def assignment(self, spark: SparkSession,
+                   centroids: list[int] | None = None) -> DataFrame | None:
+        """The standing assignment; ``centroids`` prunes the read to
+        those clusters' partitions (superset via hash — the exact filter
+        is applied on top)."""
+        if centroids is None:
+            return self.table.read(spark)
+        probe = spark.createDataFrame([(int(c),) for c in centroids],
+                                      "centroid int")
+        parts = sorted(r["p"] for r in
+                       probe.select(self.table.part_of().alias("p"))
+                       .distinct().collect())
+        df = self.table.read(spark, parts=parts)
+        if df is None:
+            return None
+        return df.join(F.broadcast(probe), "centroid", "left_semi")
+
+    def search(self, spark: SparkSession, queries: DataFrame, k: int,
+               nprobe: int = 1) -> DataFrame:
+        """IVF top-k over the STANDING table: score the broadcast
+        centroids per query (one map-side pass), manifest-prune the table
+        to the probed clusters' partitions, equi-join on the centroid id,
+        rank top-k. Cost: O(|queries| × C) scoring + O(probed partitions)
+        scan — at 10^9 vectors and C=4096 a query touches ~nprobe/4096 of
+        the corpus, and the partition pruning means Spark never even
+        LISTS the rest."""
+        cent = self.centroids(spark)
+        if cent is None:
+            raise ValueError("index has no trained quantizer")
+        q = queries.select("vec_id", "embedding")
+        aq = (ivf_assign(q, cent).select("vec_id", "embedding", "centroid")
+              if nprobe <= 1 else ivf_query_probes(q, cent, nprobe))
+        probed = [r["centroid"] for r in
+                  aq.select("centroid").distinct().collect()]
+        cand = self.assignment(spark, centroids=probed)
+        return cosine_topk(aq, cand.select("vec_id", "embedding", "centroid"),
+                           k=k, partition_col="centroid")
+
+    def assignment_stats(self, spark: SparkSession) -> DataFrame:
+        """Per-centroid drift monitor: member count + mean/min cosine to
+        the centroid. A falling mean is the retrain signal."""
+        df = self.table.read(spark)
+        return (df.groupBy("centroid")
+                .agg(F.count(F.lit(1)).alias("n_vectors"),
+                     F.round(F.avg("cos6"), 6).alias("mean_cos"),
+                     F.round(F.min("cos6"), 6).alias("min_cos")))
+
+
+def retrain_into(spark: SparkSession, old: IvfIndex, new_root: str,
+                 key: str = "retrain-0", n_centroids: int = 8,
+                 iters: int = 0, n_partitions: int | None = None
+                 ) -> IvfIndex:
+    """The re-train seam: REBUILD the index into a fresh root from the
+    standing embeddings (new quantizer -> full re-assignment -> one
+    commit), leaving the old index readable throughout; the caller swaps
+    a catalog pointer when done. In-place re-assignment is deliberately
+    not offered — it would move keys across partitions, violating the
+    part_cols layout contract."""
+    new = IvfIndex(new_root,
+                   n_partitions=n_partitions or old.table.n_partitions)
+    vecs = old.table.read(spark).select("vec_id", "embedding")
+    new.train_on(spark, vecs, key, n_centroids=n_centroids, iters=iters)
+    return new

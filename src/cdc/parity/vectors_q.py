@@ -228,6 +228,37 @@ def ann_ivf_assigned(spark, sf_dir):
     return out.select("vec_id", "centroid", F.round("cos", 6).alias("cos6"))
 
 
+@q("ann_ivf_incr", "WITH " + _IVF_ASSIGN.replace(
+    "FROM embeddings e CROSS JOIN cent c",
+    """FROM (SELECT vec_id + 100000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 100 = 0) e CROSS JOIN cent c""") + """
+SELECT vec_id, cid AS centroid, round(cos, 6) AS cos6 FROM assign
+""")
+def ann_ivf_incr(spark, sf_dir):
+    """INCREMENTAL ANN INGEST (the IVF twin of ``dedup_lsh_incr``): the
+    standing ``cdc.ann.IvfIndex`` table is trained+filled from the base
+    corpus, then ONE ingest batch (the injected duplicates, ids
+    >= 100000) is assigned O(batch) against the frozen broadcast
+    quantizer and MERGE-committed under the epoch ledger. Returned: the
+    STANDING TABLE's rows for the new ids — the oracle recomputes their
+    assignment from scratch against the same seeded centroids, so any
+    ingest shortcut (stale quantizer, wrong partition routing, lost
+    rows) hash-mismatches. Layout: part = hash(centroid) — search prunes
+    to probed clusters' partitions (pytest-pinned in test_ann)."""
+    from cdc.ann import IvfIndex
+    from cdc.parity.udf_q import _scratch
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = (emb.filter(F.col("vec_id") % 100 == 0)
+           .withColumn("vec_id", F.col("vec_id") + 100000))
+    idx = IvfIndex(f"{_scratch('cdc_ann_q')}/ivf", n_partitions=8)
+    idx.train_on(spark, emb, "base", n_centroids=8, iters=0)
+    idx.ingest(spark, dup, "epoch-1")
+    return (idx.assignment(spark)
+            .filter(F.col("vec_id") >= 100000)
+            .select("vec_id", "centroid", "cos6"))
+
+
 @q("ann_ivf_search", "WITH " + _IVF_ASSIGN + f""",
 qv AS (
   SELECT e.vec_id AS qid, e.embedding AS qe, a.cid

@@ -1,0 +1,112 @@
+"""Standing IVF index (cdc.ann): incremental ingest, partition-pruned
+search, quantizer persistence, crash-heal, retrain seam."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc.ann import CENTROIDS_PROP, IvfIndex, retrain_into
+from cdc.table.table import CdcTable
+from cdc.vectors import ivf_search, ivf_train
+
+
+def _vecs(spark, ids, dim=8):
+    rows = [(i, [float((i * (k + 3) * 37) % 101 + 1) / 102.0
+                 for k in range(dim)]) for i in ids]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture()
+def idx(spark, tmp_path):
+    ix = IvfIndex(str(tmp_path / "ivf"), n_partitions=8)
+    ix.train_on(spark, _vecs(spark, range(0, 40)), "base",
+                n_centroids=4, iters=1)
+    ix.ingest(spark, _vecs(spark, range(100, 120)), "e1")
+    return ix
+
+
+def test_standing_search_equals_oneshot(spark, idx):
+    """Search over the standing table == vectors.ivf_search over the same
+    corpus with the same quantizer, for nprobe 1 and 2."""
+    allv = _vecs(spark, list(range(0, 40)) + list(range(100, 120)))
+    cent = idx.centroids(spark)
+    q = _vecs(spark, range(0, 10))
+    for nprobe in (1, 2):
+        want = {tuple(r) for r in
+                ivf_search(q, allv, cent, k=3, nprobe=nprobe).collect()}
+        got = {tuple(r) for r in
+               idx.search(spark, q, k=3, nprobe=nprobe).collect()}
+        assert got == want and got
+
+
+def test_search_reads_only_probed_partitions(spark, idx, monkeypatch):
+    """The standing search must manifest-prune to the probed centroids'
+    partitions — fewer files than the table holds."""
+    reads = []
+    orig = CdcTable.read
+
+    def spy(self, spark_, parts=None, **kw):
+        reads.append(parts)
+        return orig(self, spark_, parts=parts, **kw)
+
+    monkeypatch.setattr(CdcTable, "read", spy)
+    idx.search(spark, _vecs(spark, [5]), k=3, nprobe=1).collect()
+    pruned = [p for p in reads if p is not None]
+    assert pruned and len(pruned[0]) < idx.table.n_partitions
+    part_set = set(pruned[0])
+    files = idx.table.current_snapshot()["files"]
+    n_read = sum(1 for f in files if int(f["part"]) in part_set)
+    assert 0 < n_read < len(files)
+
+
+def test_ingest_exactly_once_and_assignment_immutable(spark, idx):
+    """Re-delivered epochs no-op; re-ingesting a known vector lands the
+    SAME centroid (the part_cols immutability contract)."""
+    snap = idx.table.current_snapshot()["snapshot_id"]
+    idx.ingest(spark, _vecs(spark, range(100, 120)), "e1")
+    assert idx.table.current_snapshot()["snapshot_id"] == snap
+    before = {r.vec_id: r.centroid
+              for r in idx.assignment(spark).collect()}
+    idx.ingest(spark, _vecs(spark, range(100, 110)), "e2")
+    after = {r.vec_id: r.centroid for r in idx.assignment(spark).collect()}
+    assert after == before   # same vectors -> same centroids, no dups
+
+
+def test_train_crash_heal(spark, tmp_path):
+    """Crash between the assignment commit and the property commit:
+    replaying train_on re-derives the SAME quantizer from committed
+    state and lands the property."""
+    ix = IvfIndex(str(tmp_path / "ivf"), n_partitions=4)
+    base = _vecs(spark, range(0, 30))
+    cent = ivf_train(base, 4, iters=1)
+    ix._commit_assigned(spark, base, cent, "base")   # property never lands
+    assert ix.centroids(spark) is None
+    ix.train_on(spark, base, "base", n_centroids=4, iters=1)
+    got = {r.cid: list(r.cemb) for r in ix.centroids(spark).collect()}
+    want = {r.cid: list(r.cemb) for r in cent.collect()}
+    assert got == want
+    # time travel: the property is versioned with the snapshots
+    snap = ix.table.current_snapshot()
+    assert CENTROIDS_PROP in snap["properties"]
+
+
+def test_untrained_ingest_refused(spark, tmp_path):
+    ix = IvfIndex(str(tmp_path / "ivf"), n_partitions=4)
+    with pytest.raises(ValueError, match="quantizer"):
+        ix.ingest(spark, _vecs(spark, range(5)), "e0")
+
+
+def test_retrain_into_fresh_root(spark, idx, tmp_path):
+    """The drift seam: rebuild with a larger quantizer into a new root;
+    old index stays readable, new one covers the same vectors."""
+    new = retrain_into(spark, idx, str(tmp_path / "ivf2"),
+                       n_centroids=8, iters=1)
+    assert new.centroids(spark).count() == 8
+    assert (new.assignment(spark).count()
+            == idx.assignment(spark).count() == 60)
+    stats = {r.centroid: r.n_vectors
+             for r in new.assignment_stats(spark).collect()}
+    assert sum(stats.values()) == 60
+    # old quantizer untouched
+    assert idx.centroids(spark).count() == 4
