@@ -78,10 +78,13 @@ _DRIVER_WINDOW = [
     # in-window probe))
     "dedup_minhash_lsh", "dedup_lsh_incr", "dedup_groups_cont",
     "dedup_simhash", "txt_domain_quota", "txt_decontaminate",
-    # embeddings / ANN
-    "ann_ivf_search", "ann_ivf_search_np2", "dedup_embed_lsh",
-    # multimodal + pandas-UDF families
-    "mm_decode_meta", "v1_normalize_sha", "v3_policy_lww",
+    # embeddings / ANN (ann_ivf_incr = the standing-index ingest path,
+    # round 4; the np2 probe variant of the in-window ann_ivf_search and
+    # the fake-codec mm_decode_meta rotate out — both stay
+    # judge-verifiable past the window)
+    "ann_ivf_search", "ann_ivf_incr", "dedup_embed_lsh",
+    # multimodal + pandas-UDF families (mm_decode_ppm = REAL byte decode)
+    "mm_decode_ppm", "v1_normalize_sha", "v3_policy_lww",
     # table format
     "lookup_point_reads", "cdf_snapshot_diff", "ivm_incremental_agg",
     "scd2_version_history", "wap_quality_gate", "dml_update_delete",

@@ -109,8 +109,8 @@ def main() -> None:
         "dedup_simhash", "dedup_simhash_pairs", "dedup_embed_lsh",
         "ann_cosine_topk", "ann_ivf_search", "ann_ivf_search_np2",
         "t4_session_window", "txt_quality", "txt_repetition",
-        "v1_normalize_sha", "mm_decode_meta", "a10_patch_mor_lww",
-        "dedup_groups",
+        "v1_normalize_sha", "mm_decode_meta", "mm_decode_ppm",
+        "a10_patch_mor_lww", "dedup_groups",
     ]
     for name in bench_queries:
         timed(name, lambda n=name: queries[n](spark, sf_dir).write
@@ -149,6 +149,33 @@ def main() -> None:
                   standing_rh, emb.unionByName(new_emb), new_emb,
                   threshold=0.95)[0]
               .write.format("noop").mode("overwrite").save())
+
+        # ---- streaming continuous-dedup: ONE full epoch ------------------
+        # Standing state (band + assignment CdcTables over the whole doc
+        # corpus) is built UNTIMED — in production it was paid for batch by
+        # batch; the timed row is one end-to-end micro-batch: batch bands +
+        # bucket-pruned standing probe + O(churn) CC delta + the two
+        # exactly-once commits. Tracks VERDICT r3's O(corpus)->O(churn)
+        # epoch rework as a measured number.
+        from cdc.stream.dedup import dedup_tables, ingest_dedup_batch
+        bands_t, groups_t = dedup_tables(
+            os.path.join(inc_work, "sb"), os.path.join(inc_work, "sg"),
+            n_partitions=16)
+        ingest_dedup_batch(spark, bands_t, groups_t,
+                           d.select("doc_id", "text"), "seed")
+        batch_docs = _new_docs(d)
+        timed("dedup_stream_epoch",
+              lambda: ingest_dedup_batch(spark, bands_t, groups_t,
+                                         batch_docs, "epoch-1"))
+
+        # ---- standing IVF index: ONE ingest epoch -------------------------
+        # quantizer train + base fill untimed; timed = one batch assigned
+        # against the frozen broadcast centroids + MERGE commit.
+        from cdc.ann import IvfIndex
+        idx = IvfIndex(os.path.join(inc_work, "ivf"), n_partitions=16)
+        idx.train_on(spark, emb, "base", n_centroids=8, iters=0)
+        timed("ann_ivf_ingest_epoch",
+              lambda: idx.ingest(spark, new_emb, "epoch-1"))
     finally:
         shutil.rmtree(inc_work, ignore_errors=True)
 
