@@ -61,7 +61,7 @@ _DRIVER_WINDOW = [
     "a4_lww_maxby", "a2_dedup_exact", "a9_patch_column_lww",
     "s10_debezium_decode",
     # join family
-    "j2_broadcast_lookup", "j3_left_anti", "j4_left_semi", "j5_asof_state",
+    "j2_broadcast_lookup", "j3_left_anti", "j5_asof_state",
     "j6_range_join", "j7_self_join_batches", "j8_merge_into_clauses",
     # aggregates / windows / sets
     "a1_lineage_metrics", "a3_approx_distinct", "dedup_groups",
@@ -82,7 +82,7 @@ _DRIVER_WINDOW = [
     # round 4; the np2 probe variant of the in-window ann_ivf_search and
     # the fake-codec mm_decode_meta rotate out — both stay
     # judge-verifiable past the window)
-    "ann_ivf_search", "ann_ivf_incr", "dedup_embed_lsh",
+    "ann_ivf_search", "ann_ivf_incr", "ann_pq_search", "dedup_embed_lsh",
     # multimodal + pandas-UDF families (mm_decode_ppm = REAL byte decode)
     "mm_decode_ppm", "v1_normalize_sha", "v3_policy_lww",
     # table format

@@ -107,7 +107,7 @@ def main() -> None:
         "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_region_volume",
         "w3_running_sum", "w4_ntile_deciles", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_simhash_pairs", "dedup_embed_lsh",
-        "ann_cosine_topk", "ann_ivf_search", "ann_ivf_search_np2",
+        "ann_cosine_topk", "ann_ivf_search", "ann_ivf_search_np2", "ann_pq_search",
         "t4_session_window", "txt_quality", "txt_repetition",
         "v1_normalize_sha", "mm_decode_meta", "mm_decode_ppm",
         "a10_patch_mor_lww", "dedup_groups",

