@@ -261,19 +261,30 @@ def plan_epoch(spark: SparkSession, bands: CdcTable, groups: CdcTable,
 
 def ingest_dedup_batch(spark: SparkSession, bands: CdcTable,
                        groups: CdcTable, docs: DataFrame,
-                       key: str, family: DedupFamily = MINHASH) -> None:
+                       key: str, family: DedupFamily = MINHASH,
+                       mode: str = "cow") -> None:
     """One continuous-dedup ingest step (the foreachBatch body, callable
     directly for batch-mode backfills). ``docs`` — (doc_id, text) /
     (vec_id, embedding) for the NEW documents only. Idempotent per
-    (table, key)."""
+    (table, key).
+
+    ``mode='mor'`` — commit both tables as merge-on-read DELTA layers:
+    write cost drops from O(touched partitions) to O(batch) per epoch
+    (band rows are pure appends; changed assignment rows reconcile by
+    max-lsn at read), the right trade for high-frequency micro-batches.
+    Reads stay exact either way; run ``maintenance.compact`` on the
+    cadence that keeps the probe's reconcile bounded."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown mode {mode!r}")
     if (bands.is_committed(key) and groups.is_committed(key)
             and family.is_prepared(key)):
         return   # fully re-delivered epoch: skip the probe + merge work
     nb, changed, lsn = plan_epoch(spark, bands, groups, docs, key, family)
-    if not bands.is_committed(key):
-        bands.commit_merge(spark, _as_batch(nb, lsn, key), key)
-    if not groups.is_committed(key):
-        groups.commit_merge(spark, _as_batch(changed, lsn, key), key)
+    for table, frame in ((bands, nb), (groups, changed)):
+        if not table.is_committed(key):
+            commit = (table.commit_delta if mode == "mor"
+                      else table.commit_merge)
+            commit(spark, _as_batch(frame, lsn, key), key)
 
 
 def continuous_dedup(spark: SparkSession, docs_stream: DataFrame,
@@ -282,7 +293,8 @@ def continuous_dedup(spark: SparkSession, docs_stream: DataFrame,
                      available_now: bool = True,
                      processing_time: str | None = None,
                      await_termination: bool = True,
-                     family: DedupFamily = MINHASH):
+                     family: DedupFamily = MINHASH,
+                     mode: str = "cow"):
     """Run continuous dedup over a streaming (doc_id, text) — or
     (vec_id, embedding) — source. ``available_now=True`` drains the
     source and stops (bounded backfill); otherwise a live tail. Returns
@@ -297,7 +309,8 @@ def continuous_dedup(spark: SparkSession, docs_stream: DataFrame,
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         key = f"dedup-{token}-epoch-{epoch_id:010d}"
-        ingest_dedup_batch(spark, bands, groups, batch_df, key, family)
+        ingest_dedup_batch(spark, bands, groups, batch_df, key, family,
+                           mode)
 
     w = (docs_stream.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint)

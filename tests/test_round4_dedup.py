@@ -362,3 +362,39 @@ def test_ppm_decode_real_bytes(spark):
             decode_image_meta(junk, fake=False).collect()}
     assert not rows[1].ok and rows[1].fmt is None
     assert not rows[2].ok   # truncated raster
+
+
+def test_continuous_dedup_mor_mode_equals_cow(spark, tmp_path):
+    """mode='mor' epochs (O(batch) delta appends, reconcile-at-read) must
+    land the same standing truth as CoW epochs, survive a mid-stream
+    compaction, and skip re-delivered keys."""
+    from cdc.stream.dedup import dedup_tables, ingest_dedup_batch
+    from cdc.table.maintenance import compact
+
+    cow_b, cow_g = dedup_tables(str(tmp_path / "cb"), str(tmp_path / "cg"),
+                                n_partitions=4)
+    mor_b, mor_g = dedup_tables(str(tmp_path / "mb"), str(tmp_path / "mg"),
+                                n_partitions=4)
+    batches = [list(range(0, 15)), list(range(100, 115)),
+               list(range(200, 215))]
+    for k, ids in enumerate(batches):
+        ingest_dedup_batch(spark, cow_b, cow_g, _mk(spark, ids), f"e{k}")
+        ingest_dedup_batch(spark, mor_b, mor_g, _mk(spark, ids), f"e{k}",
+                           mode="mor")
+        if k == 1:
+            compact(spark, mor_b)
+            compact(spark, mor_g)
+
+    def standing(g):
+        return {(r.doc_id, r.grp) for r in
+                g.read(spark).select("doc_id", "grp").collect()}
+
+    assert standing(mor_g) == standing(cow_g) and standing(cow_g)
+    # delta layers really were used (post-compaction epoch is a delta)
+    assert any(f.get("kind") == "delta"
+               for f in mor_g.current_snapshot()["files"])
+    # exactly-once under mor
+    snap = mor_g.current_snapshot()["snapshot_id"]
+    ingest_dedup_batch(spark, mor_b, mor_g, _mk(spark, batches[-1]), "e2",
+                       mode="mor")
+    assert mor_g.current_snapshot()["snapshot_id"] == snap
