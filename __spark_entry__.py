@@ -82,7 +82,7 @@ _DRIVER_WINDOW = [
     # round 4; the np2 probe variant of the in-window ann_ivf_search and
     # the fake-codec mm_decode_meta rotate out — both stay
     # judge-verifiable past the window)
-    "ann_ivf_search", "ann_ivf_incr", "ann_pq_search", "dedup_embed_lsh",
+    "ann_ivf_search", "ann_ivf_incr", "ann_ivfpq_search", "dedup_embed_lsh",
     # multimodal + pandas-UDF families (mm_decode_ppm = REAL byte decode)
     "mm_decode_ppm", "v1_normalize_sha", "v3_policy_lww",
     # table format

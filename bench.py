@@ -108,6 +108,7 @@ def main() -> None:
         "w3_running_sum", "w4_ntile_deciles", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_simhash_pairs", "dedup_embed_lsh",
         "ann_cosine_topk", "ann_ivf_search", "ann_ivf_search_np2", "ann_pq_search",
+        "ann_ivfpq_search",
         "t4_session_window", "txt_quality", "txt_repetition",
         "v1_normalize_sha", "mm_decode_meta", "mm_decode_ppm",
         "a10_patch_mor_lww", "dedup_groups",

@@ -35,9 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc.table.table import CdcTable
-from cdc.vectors import cosine_topk, ivf_assign, ivf_query_probes, ivf_train
+from cdc.vectors import (cosine_topk, ivf_assign, ivf_query_probes,
+                         ivf_train, pq_adc_search, pq_codes_col, pq_train)
 
 CENTROIDS_PROP = "ivf.centroids"
+PQ_PROP = "ivf.pq_codebooks"
 
 
 def _as_batch(df: DataFrame, lsn: int, key: str) -> DataFrame:
@@ -67,28 +69,45 @@ class IvfIndex:
                 for c in json.loads(raw)]
         return spark.createDataFrame(rows, "cid int, cemb array<double>")
 
+    def pq_codebooks(self, spark: SparkSession) -> list | None:
+        """The frozen PQ codebooks CB[m][k][dim/m] (None when the index
+        was trained without PQ)."""
+        snap = self.table.current_snapshot()
+        raw = ((snap or {}).get("properties") or {}).get(PQ_PROP)
+        return None if raw is None else json.loads(raw)
+
     def train_on(self, spark: SparkSession, vecs: DataFrame, key: str,
-                 n_centroids: int = 8, iters: int = 0) -> None:
-        """Train the quantizer on the FIRST batch and commit both the
-        batch's assignment and the centroid property (two commits, each
-        idempotent; a crash between them re-trains deterministically from
-        the committed assignment's embeddings on replay)."""
+                 n_centroids: int = 8, iters: int = 0,
+                 pq_m: int | None = None, pq_k: int = 16,
+                 dim: int = 64) -> None:
+        """Train the quantizer(s) on the FIRST batch and commit both the
+        batch's assignment and the quantizer properties (idempotent
+        commits; a crash between them re-trains deterministically from
+        the committed assignment's embeddings on replay).
+
+        ``pq_m`` — also train per-subspace PQ codebooks (IVF-PQ): every
+        ingested vector additionally stores its M sub-space codes, and
+        ``search(adc=True)`` ranks candidates by quantized distance
+        WITHOUT reading the float embedding column at all."""
         if self.centroids(spark) is not None:
             return
+        src = (vecs.select("vec_id", "embedding")
+               if not self.table.is_committed(key)
+               # crash-heal: re-derive the same quantizers from committed
+               # state (same vector set, deterministic seeding/Lloyd)
+               else self.table.read(spark).select("vec_id", "embedding"))
+        cent = ivf_train(src, n_centroids, iters)
+        cb = pq_train(src, m=pq_m, k=pq_k, iters=iters,
+                      dim=dim) if pq_m else None
         if not self.table.is_committed(key):
-            cent = ivf_train(vecs.select("vec_id", "embedding"),
-                             n_centroids, iters)
-            self._commit_assigned(spark, vecs, cent, key)
-        else:
-            # crash-heal: re-derive the same centroids from committed state
-            cent = ivf_train(self.table.read(spark)
-                             .select("vec_id", "embedding"),
-                             n_centroids, iters)
+            self._commit_assigned(spark, vecs, cent, key, cb=cb, dim=dim)
         from cdc.table import alter
         payload = json.dumps([
             {"cid": r["cid"], "cemb": list(r["cemb"])}
             for r in sorted(cent.collect(), key=lambda r: r["cid"])])
         alter.set_property(self.table, CENTROIDS_PROP, payload)
+        if cb is not None:
+            alter.set_property(self.table, PQ_PROP, json.dumps(cb))
 
     # -- ingest ------------------------------------------------------------------
     def ingest(self, spark: SparkSession, vecs: DataFrame,
@@ -102,12 +121,19 @@ class IvfIndex:
         if cent is None:
             raise ValueError("index has no trained quantizer — call "
                              "train_on with the first batch")
-        self._commit_assigned(spark, vecs, cent, key)
+        self._commit_assigned(spark, vecs, cent, key,
+                              cb=self.pq_codebooks(spark))
 
-    def _commit_assigned(self, spark, vecs, cent, key):
+    def _commit_assigned(self, spark, vecs, cent, key, cb=None, dim=64):
         assigned = (ivf_assign(vecs.select("vec_id", "embedding"), cent)
                     .select("vec_id", "embedding", "centroid",
                             F.round("cos", 6).alias("cos6")))
+        if cb is not None:
+            # PQ codes ride the assignment rows: computed map-side at
+            # ingest, immutable per key (pure function of the frozen
+            # codebooks), so ADC search never touches the float column
+            assigned = assigned.withColumn(
+                "codes", pq_codes_col(cb, dim=dim))
         lsn = self.table.lsn_high() + 1
         self.table.commit_merge(spark, _as_batch(assigned, lsn, key), key)
 
@@ -130,14 +156,22 @@ class IvfIndex:
         return df.join(F.broadcast(probe), "centroid", "left_semi")
 
     def search(self, spark: SparkSession, queries: DataFrame, k: int,
-               nprobe: int = 1) -> DataFrame:
+               nprobe: int = 1, adc: bool = False) -> DataFrame:
         """IVF top-k over the STANDING table: score the broadcast
         centroids per query (one map-side pass), manifest-prune the table
         to the probed clusters' partitions, equi-join on the centroid id,
         rank top-k. Cost: O(|queries| × C) scoring + O(probed partitions)
         scan — at 10^9 vectors and C=4096 a query touches ~nprobe/4096 of
         the corpus, and the partition pruning means Spark never even
-        LISTS the rest."""
+        LISTS the rest.
+
+        ``adc=True`` (IVF-PQ, needs ``train_on(pq_m=…)``): rank the
+        probed clusters' candidates by quantized distance over their
+        stored codes — the scan projects (vec_id, centroid, codes) ONLY,
+        so the wide float embedding column is column-pruned away and a
+        probe reads ~M bytes per candidate instead of dim×4. Returns
+        (qid, vec_id, adc6, rnk) [quantized distances, ascending];
+        exact-cosine form returns (qid, vec_id, cosine, rnk)."""
         cent = self.centroids(spark)
         if cent is None:
             raise ValueError("index has no trained quantizer")
@@ -147,8 +181,16 @@ class IvfIndex:
         probed = [r["centroid"] for r in
                   aq.select("centroid").distinct().collect()]
         cand = self.assignment(spark, centroids=probed)
-        return cosine_topk(aq, cand.select("vec_id", "embedding", "centroid"),
-                           k=k, partition_col="centroid")
+        if not adc:
+            return cosine_topk(
+                aq, cand.select("vec_id", "embedding", "centroid"),
+                k=k, partition_col="centroid")
+        cb = self.pq_codebooks(spark)
+        if cb is None:
+            raise ValueError("index has no PQ codebooks — train_on with "
+                             "pq_m to enable ADC search")
+        return pq_adc_search(aq, cand.select("vec_id", "centroid", "codes"),
+                             cb, topk=k, partition_col="centroid")
 
     def assignment_stats(self, spark: SparkSession) -> DataFrame:
         """Per-centroid drift monitor: member count + mean/min cosine to

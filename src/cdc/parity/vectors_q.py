@@ -306,6 +306,54 @@ def ann_pq_search(spark, sf_dir):
                          topk=3)
 
 
+@q("ann_ivfpq_search", "WITH " + _IVF_ASSIGN + ", " + _PQ_CODES.strip()
+   .removeprefix("cw AS").replace("(SELECT CAST(vec_id AS INT) AS code",
+                                  "cw AS (SELECT CAST(vec_id AS INT) AS code",
+                                  1) + """,
+qa AS (
+  SELECT e.vec_id AS qid, e.embedding AS qe, a.cid
+  FROM embeddings e JOIN assign a USING (vec_id) WHERE e.vec_id < 20
+),
+contrib AS (
+  SELECT qa.qid, a2.vec_id, cd.j,
+         list_sum(list_transform(generate_series(1, 8),
+             t -> (qa.qe[cd.j * 8 + t] - c.embedding[cd.j * 8 + t])
+                  * (qa.qe[cd.j * 8 + t] - c.embedding[cd.j * 8 + t]))) AS dd
+  FROM qa
+  JOIN assign a2 ON a2.cid = qa.cid AND a2.vec_id <> qa.qid
+  JOIN codes cd ON cd.vec_id = a2.vec_id
+  JOIN cw c ON c.code = cd.code
+),
+dist AS (
+  SELECT qid, vec_id, list_sum(list(dd ORDER BY j)) AS adc
+  FROM contrib GROUP BY qid, vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, adc,
+         row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
+  FROM dist
+)
+SELECT qid, vec_id, round(adc, 6) AS adc6, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""")
+def ann_ivfpq_search(spark, sf_dir):
+    """IVF-PQ over the STANDING index (the FAISS-IVFPQ shape, engine
+    form): vectors are coarse-assigned at ingest AND carry their PQ
+    codes; search prunes to the query's cluster partitions and ranks by
+    ADC over the stored codes — the float embedding column is never
+    read at search time (column-pruned scan + M table lookups per
+    candidate). The oracle recomputes cluster membership, codes, and
+    every quantized distance from scratch."""
+    from cdc.ann import IvfIndex
+    from cdc.parity.udf_q import _scratch
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = IvfIndex(f"{_scratch('cdc_ann_q')}/ivfpq", n_partitions=8)
+    idx.train_on(spark, emb, "base", n_centroids=8, iters=0, pq_m=8)
+    return idx.search(spark, emb.filter(F.col("vec_id") < 20), k=3,
+                      adc=True)
+
+
 @q("ann_ivf_incr", "WITH " + _IVF_ASSIGN.replace(
     "FROM embeddings e CROSS JOIN cent c",
     """FROM (SELECT vec_id + 100000 AS vec_id, embedding

@@ -349,13 +349,13 @@ def _cb_literal(cb) -> "F.Column":
                                for cw in sub]) for sub in cb])
 
 
-def pq_encode(vecs: DataFrame, cb: list, dim: int = 64) -> DataFrame:
-    """(vec_id, codes array<int>): per subspace, the argmin-squared-L2
-    codeword (ties -> lowest code, via first-position match). One
-    literal codebook + nested ``transform`` — fully codegen, no Python,
-    no shuffle; at scale this is the map-side compression pass of an
-    ingest pipeline."""
-    m, k = len(cb), len(cb[0])
+def pq_codes_col(cb: list, dim: int = 64) -> "F.Column":
+    """The PQ code array as ONE Column over an ``embedding`` column —
+    per subspace, the argmin-squared-L2 codeword (ties -> lowest code,
+    via first-position match; exact float equality is safe: both sides
+    are the same computed value). Attachable to any frame (the standing
+    IVF index stamps it at ingest)."""
+    m = len(cb)
     d_sub = dim // m
     cbl = _cb_literal(cb)
     e = as_double(F.col("embedding"))
@@ -363,23 +363,34 @@ def pq_encode(vecs: DataFrame, cb: list, dim: int = 64) -> DataFrame:
     def code_for(j):
         sub = F.slice(e, j * d_sub + 1, d_sub)
         dists = F.transform(cbl[j], lambda cw: _sq_dist(sub, cw))
-        # first index of the minimum == lowest code on ties (exact float
-        # equality is safe: both sides are the same computed value)
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    codes = F.array(*[code_for(j) for j in range(m)])
-    return vecs.select("vec_id", codes.alias("codes"))
+    return F.array(*[code_for(j) for j in range(m)])
+
+
+def pq_encode(vecs: DataFrame, cb: list, dim: int = 64) -> DataFrame:
+    """(vec_id, codes array<int>) — ``pq_codes_col`` applied to a
+    (vec_id, embedding) frame. Fully codegen, no Python, no shuffle; at
+    scale this is the map-side compression pass of an ingest pipeline."""
+    return vecs.select("vec_id", pq_codes_col(cb, dim=dim).alias("codes"))
 
 
 def pq_adc_search(queries: DataFrame, codes: DataFrame, cb: list,
-                  topk: int, dim: int = 64) -> DataFrame:
+                  topk: int, dim: int = 64,
+                  partition_col: str | None = None) -> DataFrame:
     """ADC top-k: each query materializes its M×K distance table against
     the literal codebooks (one expression, map-side), then every
     candidate's approximate distance is M ``element_at`` lookups over its
     codes — the float vectors of the corpus are NEVER read. Returns
     (qid, vec_id, adc6, rnk); ties break on vec_id. Recall < 1 by
     quantization design; re-rank the top-k' > k survivors with exact
-    distances when exactness matters (standard PQ practice)."""
+    distances when exactness matters (standard PQ practice).
+
+    ``partition_col`` — IVF-PQ composition: when both frames carry a
+    coarse-cluster column, a query only scans candidates in its own
+    cluster (equi-join on the cluster id instead of the broadcast
+    nested-loop) — candidate set shrinks by ~n_clusters AND each
+    candidate still costs only M table lookups."""
     m = len(cb)
     d_sub = dim // m
     cbl = _cb_literal(cb)
@@ -388,8 +399,16 @@ def pq_adc_search(queries: DataFrame, codes: DataFrame, cb: list,
         F.transform(cbl[j], lambda cw: _sq_dist(
             F.slice(qe, j * d_sub + 1, d_sub), cw))
         for j in range(m)])
-    q = queries.select(F.col("vec_id").alias("qid"), qt.alias("qt"))
-    pairs = F.broadcast(q).join(codes, F.col("qid") != F.col("vec_id"))
+    q = queries.select(F.col("vec_id").alias("qid"), qt.alias("qt"),
+                       *([partition_col] if partition_col else []))
+    if partition_col:
+        c = codes.withColumnRenamed(partition_col, f"_c_{partition_col}")
+        cond = ((F.col(partition_col) == F.col(f"_c_{partition_col}"))
+                & (F.col("qid") != F.col("vec_id")))
+    else:
+        c = codes
+        cond = F.col("qid") != F.col("vec_id")
+    pairs = F.broadcast(q).join(c, cond)
     adc = F.aggregate(
         F.zip_with(F.col("codes"), F.col("qt"),
                    lambda c, row: F.element_at(row, c + 1)),

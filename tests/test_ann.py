@@ -136,7 +136,7 @@ def _clustered_vecs(spark, n, dim=64, clusters=10):
     rows = []
     for i in range(n):
         c = i % clusters
-        rows.append((i, [float((c * (k + 7) * 53) % 97) / 97.0
+        rows.append((i, [float(((c + 1) * (k + 7) * 53) % 97 + 1) / 98.0
                          + 0.01 * float((i * (k + 3)) % 11) / 11.0
                          for k in range(dim)]))
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
@@ -177,3 +177,40 @@ def test_pq_adc_recall_against_exact(spark):
 
     e0, e2 = qerr(pq_train(vecs, iters=0)), qerr(pq_train(vecs, iters=2))
     assert e2 <= e0 + 1e-9, (e0, e2)
+
+
+def test_ivfpq_adc_search_never_reads_embeddings(spark, tmp_path):
+    """IVF-PQ: the standing index stores codes at ingest; ADC search must
+    (a) match a hand-computed ADC ranking within the probed cluster and
+    (b) column-prune the float embedding out of every parquet scan."""
+    from cdc.ann import IvfIndex
+    from cdc.vectors import ivf_assign, pq_adc_search, pq_encode
+
+    ix = IvfIndex(str(tmp_path / "ivfpq"), n_partitions=8)
+    base = _clustered_vecs(spark, 120)
+    ix.train_on(spark, base, "base", n_centroids=4, iters=0, pq_m=8)
+    ix.ingest(spark, _clustered_vecs(spark, 160).filter("vec_id >= 120"),
+              "e1")
+
+    q = _clustered_vecs(spark, 10)
+    got = ix.search(spark, q, k=3, adc=True)
+    rows = got.collect()
+    assert rows and {r.qid for r in rows} == set(range(10))
+
+    # (a) equals the composition of the one-shot pieces
+    allv = _clustered_vecs(spark, 160)
+    cent = ix.centroids(spark)
+    cb = ix.pq_codebooks(spark)
+    av = ivf_assign(allv, cent).select("vec_id", "centroid")
+    codes = pq_encode(allv, cb).join(av, "vec_id")
+    aq = ivf_assign(q, cent).select("vec_id", "embedding", "centroid")
+    want = {tuple(r) for r in
+            pq_adc_search(aq, codes, cb, topk=3,
+                          partition_col="centroid").collect()}
+    assert {tuple(r) for r in rows} == want
+
+    # (b) no scan in the executed plan reads the embedding column
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("embedding" not in ln for ln in scans), scans

@@ -32,7 +32,7 @@ def test_window_covers_the_hard_families():
     for family, members in {
         "dedup": {"dedup_minhash_lsh", "dedup_lsh_incr",
                   "dedup_groups_cont", "txt_decontaminate"},
-        "ann": {"ann_ivf_search", "ann_ivf_incr", "ann_pq_search"},
+        "ann": {"ann_ivf_search", "ann_ivf_incr", "ann_ivfpq_search"},
         "table-format": {"src_cdctable_read_mor", "txn_sql_atomic",
                          "ddl_alter_lifecycle", "ivm_incremental_agg"},
         "flagship": {"cdc_replay_full", "j1_merge_full_outer"},
