@@ -34,19 +34,13 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc.merge import as_cdc_batch as _as_batch
 from cdc.table.table import CdcTable
 from cdc.vectors import (cosine_topk, ivf_assign, ivf_query_probes,
                          ivf_train, pq_adc_search, pq_codes_col, pq_train)
 
 CENTROIDS_PROP = "ivf.centroids"
 PQ_PROP = "ivf.pq_codebooks"
-
-
-def _as_batch(df: DataFrame, lsn: int, key: str) -> DataFrame:
-    return (df.withColumn("lsn", F.lit(int(lsn)).cast("long"))
-            .withColumn("ts", F.timestamp_seconds(F.lit(int(lsn))))
-            .withColumn("op", F.lit("U"))
-            .withColumn("batch_id", F.lit(key)))
 
 
 class IvfIndex:
@@ -89,24 +83,29 @@ class IvfIndex:
         ingested vector additionally stores its M sub-space codes, and
         ``search(adc=True)`` ranks candidates by quantized distance
         WITHOUT reading the float embedding column at all."""
-        if self.centroids(spark) is not None:
+        done_cent = self.centroids(spark) is not None
+        done_pq = pq_m is None or self.pq_codebooks(spark) is not None
+        if done_cent and done_pq:
             return
         src = (vecs.select("vec_id", "embedding")
                if not self.table.is_committed(key)
                # crash-heal: re-derive the same quantizers from committed
-               # state (same vector set, deterministic seeding/Lloyd)
+               # state (same vector set, deterministic seeding/Lloyd) —
+               # this covers a crash between ANY pair of the assignment /
+               # centroid-property / pq-property commits
                else self.table.read(spark).select("vec_id", "embedding"))
         cent = ivf_train(src, n_centroids, iters)
         cb = pq_train(src, m=pq_m, k=pq_k, iters=iters,
                       dim=dim) if pq_m else None
         if not self.table.is_committed(key):
-            self._commit_assigned(spark, vecs, cent, key, cb=cb, dim=dim)
+            self._commit_assigned(spark, vecs, cent, key, cb=cb)
         from cdc.table import alter
-        payload = json.dumps([
-            {"cid": r["cid"], "cemb": list(r["cemb"])}
-            for r in sorted(cent.collect(), key=lambda r: r["cid"])])
-        alter.set_property(self.table, CENTROIDS_PROP, payload)
-        if cb is not None:
+        if not done_cent:
+            payload = json.dumps([
+                {"cid": r["cid"], "cemb": list(r["cemb"])}
+                for r in sorted(cent.collect(), key=lambda r: r["cid"])])
+            alter.set_property(self.table, CENTROIDS_PROP, payload)
+        if cb is not None and not done_pq:
             alter.set_property(self.table, PQ_PROP, json.dumps(cb))
 
     # -- ingest ------------------------------------------------------------------
@@ -124,16 +123,17 @@ class IvfIndex:
         self._commit_assigned(spark, vecs, cent, key,
                               cb=self.pq_codebooks(spark))
 
-    def _commit_assigned(self, spark, vecs, cent, key, cb=None, dim=64):
+    def _commit_assigned(self, spark, vecs, cent, key, cb=None):
         assigned = (ivf_assign(vecs.select("vec_id", "embedding"), cent)
                     .select("vec_id", "embedding", "centroid",
                             F.round("cos", 6).alias("cos6")))
         if cb is not None:
             # PQ codes ride the assignment rows: computed map-side at
             # ingest, immutable per key (pure function of the frozen
-            # codebooks), so ADC search never touches the float column
-            assigned = assigned.withColumn(
-                "codes", pq_codes_col(cb, dim=dim))
+            # codebooks, whose geometry the codes column derives from —
+            # a non-default training dim can't silently mis-slice), so
+            # ADC search never touches the float column
+            assigned = assigned.withColumn("codes", pq_codes_col(cb))
         lsn = self.table.lsn_high() + 1
         self.table.commit_merge(spark, _as_batch(assigned, lsn, key), key)
 

@@ -29,6 +29,17 @@ from cdc.dedup import KEY_COLS
 SYS_COLS = ("_lsn", "_updated_ts", "_content_sha256", "_deleted")
 
 
+def as_cdc_batch(df: DataFrame, lsn: int, key: str) -> DataFrame:
+    """Stamp the CDC batch columns ``commit_merge``/``commit_delta``
+    expect onto an already 1-row-per-key frame — the adapter every
+    standing-state maintainer (continuous dedup, the IVF index) uses to
+    commit derived rows under the exactly-once ledger."""
+    return (df.withColumn("lsn", F.lit(int(lsn)).cast("long"))
+            .withColumn("ts", F.timestamp_seconds(F.lit(int(lsn))))
+            .withColumn("op", F.lit("U"))
+            .withColumn("batch_id", F.lit(key)))
+
+
 def with_content_sha(df: DataFrame, content_col: str = "content") -> DataFrame:
     """F1 — materialize the per-row invariant column (built-in sha2; the
     tempting per-row Python hash UDF is exactly what the spec bans)."""

@@ -1,13 +1,19 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
 Images/audio/video ride through the engine as ``binary`` columns with a
-small typed metadata struct. The Spark-side machinery here is real and
-tested — schema, Arrow batch shape, ``mapInPandas`` partition streaming —
-while the actual codec work is stubbed: the decode libraries (PIL/ffmpeg)
-are not in this container, so ``decode_image_meta(fake=False)`` raises
-``NotImplementedError`` and the default is a deterministic fake decoder
-(pure arithmetic on the byte payload) that exercises the identical
-dataflow.
+small typed metadata struct. Two decode tiers exist:
+
+- ``decode_image_meta(fake=True)`` (default) — a deterministic fake
+  decoder (pure arithmetic on the byte payload, META_SCHEMA) that
+  exercises the Arrow dataflow without any codec;
+- ``decode_image_meta(fake=False)`` — a REAL byte decoder for
+  uncompressed P6 PPM payloads (``decode_ppm_meta``, PPM_META_SCHEMA:
+  note the different output columns): header parse + raster reads
+  through the same ``mapInPandas`` seam; ``with_ppm_payload`` builds
+  genuine PPM files JVM-side for it. Compressed codecs (png/jpeg) need
+  libraries absent from this container — those payloads come back
+  ok=false rather than raising, and a production deployment plugs the
+  codec into the same batch loop.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches through one
 Python worker per task — per-batch (not per-row) overhead, and the binary
@@ -125,7 +131,9 @@ def decode_ppm_meta(df: DataFrame, payload_col: str = "payload",
                                    "maxval", "fmt", "ok", "px_first",
                                    "px_last")}
             for did, blob in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(blob)
+                # NULL payloads (e.g. a NULL source column) must yield
+                # ok=false, never poison the Arrow batch
+                b = bytes(blob) if blob is not None else b""
                 row = dict(doc_id=int(did), n_bytes=len(b), width=None,
                            height=None, maxval=None, fmt=None, ok=False,
                            px_first=None, px_last=None)

@@ -307,9 +307,7 @@ def ann_pq_search(spark, sf_dir):
 
 
 @q("ann_ivfpq_search", "WITH " + _IVF_ASSIGN + ", " + _PQ_CODES.strip()
-   .removeprefix("cw AS").replace("(SELECT CAST(vec_id AS INT) AS code",
-                                  "cw AS (SELECT CAST(vec_id AS INT) AS code",
-                                  1) + """,
+   + """,
 qa AS (
   SELECT e.vec_id AS qid, e.embedding AS qe, a.cid
   FROM embeddings e JOIN assign a USING (vec_id) WHERE e.vec_id < 20

@@ -252,32 +252,53 @@ def replay(
             # reorder_horizon caveat as the full-tail path).
             log = log.filter(
                 F.col("lsn") > max(-1, after - max(0, reorder_horizon)))
-        # commit groups from RANGE ARITHMETIC over one (min, max) agg — the
-        # driver never holds the distinct batch_id list (O(#producer
-        # batches) at 10^10-event scale); a group is k consecutive id
-        # VALUES, so sparse producers get thinner groups, never more driver
-        # memory. Gap-only groups no-op via apply_batch's empty-tail guard
-        # and are counted as skipped.
-        bounds = log.agg(F.min("batch_id").alias("lo"),
-                         F.max("batch_id").alias("hi")).first()
-        start = 0 if bounds["lo"] is None else int(bounds["lo"])
-        stop = -1 if bounds["hi"] is None else int(bounds["hi"])
-        for lo in range(start, stop + 1, max(1, batches_per_commit)):
-            hi = min(lo + batches_per_commit - 1, stop)
+        # Commit groups = k consecutive PRESENT batch_ids, computed
+        # DISTRIBUTED: the driver never holds the distinct id list
+        # (O(#producer batches) at 10^10-event scale) and never iterates
+        # an id VALUE range (a timestamp-stamped batch_id would make that
+        # loop effectively infinite). Shape: range-repartition the
+        # distinct ids, rank within each sorted range partition (offset =
+        # prefix sum of the <=P per-partition counts — the only collect
+        # besides the boundaries), then collect ONE (lo, hi) row per
+        # group — bounded by the number of commits about to be made,
+        # i.e. by work already owed.
+        from pyspark.sql import Window
+
+        k = max(1, batches_per_commit)
+        ids = log.select("batch_id").distinct()
+        rp = (ids.repartitionByRange(64, "batch_id")
+              .withColumn("_p", F.spark_partition_id()))
+        cnts = {r["_p"]: r["c"] for r in
+                rp.groupBy("_p").agg(F.count(F.lit(1)).alias("c")).collect()}
+        off, acc = {}, 0
+        for p in sorted(cnts):
+            off[p] = acc
+            acc += cnts[p]
+        if cnts:
+            off_col = F.element_at(
+                F.create_map(*[F.lit(x) for kv in off.items() for x in kv]),
+                F.col("_p"))
+            w = Window.partitionBy("_p").orderBy("batch_id")
+            groups = (rp.withColumn(
+                          "_r", F.row_number().over(w) - 1 + off_col)
+                      .withColumn("_g", (F.col("_r") / k).cast("long"))
+                      .groupBy("_g")
+                      .agg(F.min("batch_id").alias("lo"),
+                           F.max("batch_id").alias("hi"))
+                      .orderBy("_g").collect())
+        else:
+            groups = []
+        for g in groups:
+            lo, hi = int(g["lo"]), int(g["hi"])
             key = _group_key(lo, hi)
             if table.is_committed(key):
                 res.n_skipped += 1
                 continue
             sub = log.filter((F.col("batch_id") >= lo) & (F.col("batch_id") <= hi))
-            before = table.current_snapshot()
-            snap = apply_batch(spark, table, sub, key, normalize, lww_via,
-                               metrics, mode)
-            if snap is None or (before is not None
-                                and snap["snapshot_id"] == before["snapshot_id"]):
-                res.n_skipped += 1
-            else:
-                res.n_commits += 1
-                res.batch_keys.append(key)
+            apply_batch(spark, table, sub, key, normalize, lww_via,
+                        metrics, mode)
+            res.n_commits += 1
+            res.batch_keys.append(key)
 
     res.lsn_high = table.lsn_high()
     res.wall_ms = int((time.monotonic() - t0) * 1000)

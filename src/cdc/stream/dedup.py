@@ -42,18 +42,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc.cc import connected_components_incremental_delta
+from cdc.merge import as_cdc_batch as _as_batch
 from cdc.table.table import CdcTable
 
 GROUPS_SCHEMA = "id long, grp long"
-
-
-def _as_batch(df: DataFrame, lsn: int, key: str) -> DataFrame:
-    """Stamp the CDC batch columns ``commit_merge`` expects onto an
-    already 1-row-per-key frame."""
-    return (df.withColumn("lsn", F.lit(int(lsn)).cast("long"))
-            .withColumn("ts", F.timestamp_seconds(F.lit(int(lsn))))
-            .withColumn("op", F.lit("U"))
-            .withColumn("batch_id", F.lit(key)))
 
 
 class DedupFamily:
@@ -190,12 +182,24 @@ def dedup_tables(bands_root: str, groups_root: str,
     per-doc function and therefore immutable per key, satisfying the
     part_cols contract. The groups table is keyed (id) with key_hash
     layout, so the O(churn) upsert commits with zero extra repartition
-    and touched-label probes are partition-pruned point reads."""
-    bands = CdcTable(bands_root, key_cols=family.bands_key,
-                     n_partitions=n_partitions, layout="key_hash",
-                     part_cols=family.bands_parts)
-    groups = CdcTable(groups_root, key_cols=(family.id_col,),
-                      n_partitions=n_partitions, layout="key_hash")
+    and touched-label probes are partition-pruned point reads.
+
+    An EXISTING table at either root is opened with its RECORDED layout
+    (a standing pipeline created before the bucket-partitioned layout
+    keeps working — correctness never depended on the layout, only the
+    probe pruning does, and ``plan_epoch`` prunes only when the layout
+    matches). New roots get the bucket layout."""
+    from cdc.meta import store
+
+    def make(root, key_cols, part_cols):
+        if store.read_current(root) is not None:
+            return CdcTable.open(root)
+        return CdcTable(root, key_cols=key_cols,
+                        n_partitions=n_partitions, layout="key_hash",
+                        part_cols=part_cols)
+
+    bands = make(bands_root, family.bands_key, family.bands_parts)
+    groups = make(groups_root, (family.id_col,), None)
     return bands, groups
 
 
@@ -224,9 +228,16 @@ def plan_epoch(spark: SparkSession, bands: CdcTable, groups: CdcTable,
           .localCheckpoint(eager=True))
     # bucket-local probe: the standing band table is partitioned by the
     # bucket columns, so ONLY the partitions the batch's buckets hash to
-    # are read — bounded by the batch's bucket set, never the corpus
-    parts = sorted(r["p"] for r in
-                   nb.select(bands.part_of().alias("p")).distinct().collect())
+    # are read — bounded by the batch's bucket set, never the corpus.
+    # A LEGACY table partitioned by the key (pre-bucket layout, opened by
+    # dedup_tables) must NOT prune: matching standing rows hash by their
+    # own doc id, not the probe's buckets — prune only when the layout
+    # is the bucket one.
+    if tuple(bands.part_cols) == tuple(family.bands_parts):
+        parts = sorted(r["p"] for r in nb.select(
+            bands.part_of().alias("p")).distinct().collect())
+    else:
+        parts = None
     st = bands.read(spark, parts=parts)
     cols = [f.split()[0] for f in family.bands_schema.split(",")]
     standing_b = (st.select(*cols) if st is not None

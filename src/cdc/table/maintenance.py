@@ -402,11 +402,19 @@ def verify_table(spark: SparkSession, table: CdcTable,
                 os.path.join(table.root, f["path"]))
         bad_sha = bad_part = 0
         # coverage accounting (don't let a silently-skipped pre-rename
-        # file group read as "fully audited"): every file lands in
-        # files_data_checked or files_data_skipped, and per-group skips
-        # are reported back even when other groups did get checked
+        # file group read as "fully audited"): which checks the CURRENT
+        # schema supports defines "full" coverage; a group missing ANY
+        # supported check is partial, one missing all is skipped, and a
+        # file counts as data-checked only when every supported check ran
+        # over it. Callers can therefore distinguish "audited" from
+        # "audited as far as the old files allowed".
+        cur_cols = set(store.ddl_names(snap["schema_ddl"]))
+        sha_supported = {"content", "_content_sha256"} <= cur_cols
+        part_supported = set(table.part_cols) <= cur_cols
+        n_expected = int(sha_supported) + int(part_supported)
         files_data_checked = files_data_skipped = 0
         skipped_groups: list[str] = []
+        partial_groups: list[str] = []
         for ddl, paths in sorted(by_ddl.items()):
             d = spark.read.schema(ddl).parquet(*paths)
             checks = []
@@ -429,7 +437,11 @@ def verify_table(spark: SparkSession, table: CdcTable,
                 files_data_skipped += len(paths)
                 skipped_groups.append(ddl)
                 continue
-            files_data_checked += len(paths)
+            if len(checks) < n_expected:
+                files_data_skipped += len(paths)
+                partial_groups.append(ddl)
+            else:
+                files_data_checked += len(paths)
             row = d.agg(*checks).collect()[0].asDict()
             bad_sha += row.get("bad_sha") or 0
             bad_part += row.get("bad_part") or 0
@@ -443,7 +455,8 @@ def verify_table(spark: SparkSession, table: CdcTable,
                 "files_checked": len(files),
                 "files_data_checked": files_data_checked,
                 "files_data_skipped": files_data_skipped,
-                "skipped_groups": skipped_groups}
+                "skipped_groups": skipped_groups,
+                "partial_groups": partial_groups}
     return {"ok": not errors, "errors": errors,
             "files_checked": len(files)}
 

@@ -349,14 +349,20 @@ def _cb_literal(cb) -> "F.Column":
                                for cw in sub]) for sub in cb])
 
 
-def pq_codes_col(cb: list, dim: int = 64) -> "F.Column":
+def pq_codes_col(cb: list, dim: int | None = None) -> "F.Column":
     """The PQ code array as ONE Column over an ``embedding`` column —
     per subspace, the argmin-squared-L2 codeword (ties -> lowest code,
     via first-position match; exact float equality is safe: both sides
     are the same computed value). Attachable to any frame (the standing
-    IVF index stamps it at ingest)."""
+    IVF index stamps it at ingest). Subspace geometry comes from the
+    CODEBOOK ITSELF (d_sub = codeword length) — a caller can't slice
+    against the wrong width (``dim`` is accepted for symmetry and
+    validated)."""
     m = len(cb)
-    d_sub = dim // m
+    d_sub = len(cb[0][0])
+    if dim is not None and dim != m * d_sub:
+        raise ValueError(f"codebook is {m}x{len(cb[0])}x{d_sub} "
+                         f"(dim {m * d_sub}); caller passed dim={dim}")
     cbl = _cb_literal(cb)
     e = as_double(F.col("embedding"))
 
@@ -368,7 +374,8 @@ def pq_codes_col(cb: list, dim: int = 64) -> "F.Column":
     return F.array(*[code_for(j) for j in range(m)])
 
 
-def pq_encode(vecs: DataFrame, cb: list, dim: int = 64) -> DataFrame:
+def pq_encode(vecs: DataFrame, cb: list,
+              dim: int | None = None) -> DataFrame:
     """(vec_id, codes array<int>) — ``pq_codes_col`` applied to a
     (vec_id, embedding) frame. Fully codegen, no Python, no shuffle; at
     scale this is the map-side compression pass of an ingest pipeline."""
@@ -376,7 +383,7 @@ def pq_encode(vecs: DataFrame, cb: list, dim: int = 64) -> DataFrame:
 
 
 def pq_adc_search(queries: DataFrame, codes: DataFrame, cb: list,
-                  topk: int, dim: int = 64,
+                  topk: int, dim: int | None = None,
                   partition_col: str | None = None) -> DataFrame:
     """ADC top-k: each query materializes its M×K distance table against
     the literal codebooks (one expression, map-side), then every
@@ -392,7 +399,9 @@ def pq_adc_search(queries: DataFrame, codes: DataFrame, cb: list,
     nested-loop) — candidate set shrinks by ~n_clusters AND each
     candidate still costs only M table lookups."""
     m = len(cb)
-    d_sub = dim // m
+    d_sub = len(cb[0][0])   # geometry from the codebook (see pq_codes_col)
+    if dim is not None and dim != m * d_sub:
+        raise ValueError(f"codebook dim {m * d_sub} != caller dim {dim}")
     cbl = _cb_literal(cb)
     qe = as_double(F.col("embedding"))
     qt = F.array(*[

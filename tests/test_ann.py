@@ -214,3 +214,28 @@ def test_ivfpq_adc_search_never_reads_embeddings(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scans and all("embedding" not in ln for ln in scans), scans
+
+
+def test_train_crash_between_property_commits_heals_pq(spark, tmp_path):
+    """Regression (round-4 review): a crash AFTER the centroid property
+    but BEFORE the PQ property must heal on the train_on replay — the
+    codebooks re-derive deterministically from committed state."""
+    from cdc.table import alter
+    from cdc.vectors import pq_train
+
+    ix = IvfIndex(str(tmp_path / "ivfpq"), n_partitions=4)
+    base = _clustered_vecs(spark, 60)
+    # simulate the partial run: assignment (with codes) + centroids only
+    cent = ivf_train(base.select("vec_id", "embedding"), 4, 0)
+    cb = pq_train(base.select("vec_id", "embedding"), m=8, k=16, iters=0)
+    ix._commit_assigned(spark, base, cent, "base", cb=cb)
+    import json
+    alter.set_property(ix.table, CENTROIDS_PROP, json.dumps([
+        {"cid": r["cid"], "cemb": list(r["cemb"])}
+        for r in sorted(cent.collect(), key=lambda r: r["cid"])]))
+    assert ix.pq_codebooks(spark) is None
+    # the replayed train_on must land the PQ property (same codebooks)
+    ix.train_on(spark, base, "base", n_centroids=4, iters=0, pq_m=8)
+    assert ix.pq_codebooks(spark) == cb
+    got = ix.search(spark, _clustered_vecs(spark, 5), k=2, adc=True)
+    assert got.count() > 0

@@ -296,9 +296,10 @@ def test_part_cols_identity_and_reopen(spark, tmp_path):
 # -- grouped replay: range arithmetic, no distinct-collect --------------------
 
 def test_grouped_replay_sparse_batch_ids(spark, tmp_path):
-    """Grouped replay over a log with GAPS in batch_id: range-arithmetic
-    groups must cover every event, skip gap-only ranges without
-    committing, and resume as a no-op."""
+    """Grouped replay over a log with GAPS in batch_id: the distributed
+    grouping must build groups of k PRESENT ids (no driver-side distinct
+    collect, no value-range iteration), cover every event, and resume as
+    a no-op."""
     from cdc.pipeline import replay
     from cdc.table.table import CdcTable
     from cdc.testing.gen import gen_change_events, write_change_log
@@ -313,7 +314,7 @@ def test_grouped_replay_sparse_batch_ids(spark, tmp_path):
 
     t = CdcTable(str(tmp_path / "tab"), n_partitions=4, layout="key_hash")
     res = replay(spark, log_dir, t, batches_per_commit=2, metrics=False)
-    # ranges [0,1] [2,3] [4,5] [6,7] [8,9]: three are gap-only
+    # present ids {0,1,8,9} -> two groups of two
     assert res.n_commits == 2
     assert res.batch_keys == ["grp-00000000-00000001", "grp-00000008-00000009"]
 
@@ -398,3 +399,60 @@ def test_continuous_dedup_mor_mode_equals_cow(spark, tmp_path):
     ingest_dedup_batch(spark, mor_b, mor_g, _mk(spark, batches[-1]), "e2",
                        mode="mor")
     assert mor_g.current_snapshot()["snapshot_id"] == snap
+
+
+def test_grouped_replay_timestamp_shaped_batch_ids(spark, tmp_path):
+    """Regression (round-4 review): a producer stamping batch_id from a
+    timestamp gives a huge sparse VALUE range — grouping must be over
+    present ids, never a value-range loop."""
+    from cdc.pipeline import replay
+    from cdc.table.table import CdcTable
+    from cdc.testing.gen import gen_change_events, write_change_log
+
+    ev = gen_change_events(spark, n_keys=20, mean_events_per_key=2, seed=9)
+    ev = ev.withColumn(
+        "batch_id",
+        F.when(F.col("lsn") % 2 == 0, F.lit(0))
+        .otherwise(F.lit(1_700_000_000_000)).cast("long"))
+    log_dir = str(tmp_path / "log")
+    write_change_log(ev, log_dir, events_per_file=200)
+    t = CdcTable(str(tmp_path / "tab"), n_partitions=4, layout="key_hash")
+    res = replay(spark, log_dir, t, batches_per_commit=2, metrics=False)
+    assert res.n_commits == 1
+    assert res.batch_keys == ["grp-00000000-1700000000000"]
+    full = CdcTable(str(tmp_path / "t2"), n_partitions=4, layout="key_hash")
+    replay(spark, log_dir, full, metrics=False)
+    assert ({tuple(r) for r in t.read(spark)
+             .select("repo", "path", "content").collect()}
+            == {tuple(r) for r in full.read(spark)
+                .select("repo", "path", "content").collect()})
+
+
+def test_dedup_tables_opens_legacy_layout(spark, tmp_path):
+    """Regression (round-4 review): a standing pipeline whose band table
+    predates the bucket layout (part_cols == key) must keep ingesting
+    after upgrade — dedup_tables opens the recorded layout, and the
+    probe skips pruning (which would be WRONG under the key layout)."""
+    from cdc.stream.dedup import dedup_tables, ingest_dedup_batch
+    from cdc.table.table import CdcTable
+
+    broot, groot = str(tmp_path / "b"), str(tmp_path / "g")
+    legacy_b = CdcTable(broot, key_cols=("doc_id", "band"),
+                        n_partitions=4, layout="key_hash")
+    legacy_g = CdcTable(groot, key_cols=("doc_id",), n_partitions=4,
+                        layout="key_hash")
+    ingest_dedup_batch(spark, legacy_b, legacy_g,
+                       _mk(spark, range(0, 15)), "e0")
+
+    bands, groups = dedup_tables(broot, groot, n_partitions=4)
+    assert bands.part_cols == ("doc_id", "band")   # recorded, not new
+    ingest_dedup_batch(spark, bands, groups, _mk(spark, range(100, 115)),
+                       "e1")
+    from cdc.cc import connected_components
+    from cdc.lsh import minhash_pairs
+    corpus = _mk(spark, list(range(0, 15)) + list(range(100, 115)))
+    oneshot = {(r.id, r.grp) for r in connected_components(
+        minhash_pairs(corpus), src="doc_a", dst="doc_b").collect()}
+    standing = {(r.doc_id, r.grp) for r in
+                groups.read(spark).select("doc_id", "grp").collect()}
+    assert standing == oneshot and oneshot
