@@ -305,7 +305,8 @@ def continuous_dedup(spark: SparkSession, docs_stream: DataFrame,
                      processing_time: str | None = None,
                      await_termination: bool = True,
                      family: DedupFamily = MINHASH,
-                     mode: str = "cow"):
+                     mode: str = "cow",
+                     compact_every: int | None = None):
     """Run continuous dedup over a streaming (doc_id, text) — or
     (vec_id, embedding) — source. ``available_now=True`` drains the
     source and stops (bounded backfill); otherwise a live tail. Returns
@@ -322,6 +323,10 @@ def continuous_dedup(spark: SparkSession, docs_stream: DataFrame,
         key = f"dedup-{token}-epoch-{epoch_id:010d}"
         ingest_dedup_batch(spark, bands, groups, batch_df, key, family,
                            mode)
+        if compact_every and epoch_id % compact_every == compact_every - 1:
+            from cdc.table.maintenance import compact
+            compact(spark, bands)
+            compact(spark, groups)
 
     w = (docs_stream.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint)

@@ -456,3 +456,34 @@ def test_dedup_tables_opens_legacy_layout(spark, tmp_path):
     standing = {(r.doc_id, r.grp) for r in
                 groups.read(spark).select("doc_id", "grp").collect()}
     assert standing == oneshot and oneshot
+
+
+def test_continuous_dedup_mor_with_compaction_cadence(spark, tmp_path):
+    """mode='mor' + compact_every: the stream folds its own delta layers
+    on cadence and the drained state still equals one-shot CC."""
+    from cdc.cc import connected_components
+    from cdc.lsh import minhash_pairs
+    from cdc.stream.dedup import continuous_dedup, dedup_tables
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    batches = [list(range(0, 15)), list(range(100, 115)),
+               list(range(200, 215))]
+    for k, ids in enumerate(batches):
+        _mk(spark, ids).coalesce(1).write.parquet(str(src / f"f{k}"))
+    bands, groups = dedup_tables(str(tmp_path / "b"), str(tmp_path / "g"),
+                                 n_partitions=4)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src / "*")))
+    continuous_dedup(spark, stream, bands, groups,
+                     checkpoint_dir=str(tmp_path / "ckpt"),
+                     mode="mor", compact_every=2)
+    all_ids = [i for ids in batches for i in ids]
+    oneshot = {(r.id, r.grp) for r in connected_components(
+        minhash_pairs(_mk(spark, all_ids)),
+        src="doc_a", dst="doc_b").collect()}
+    standing = {(r.doc_id, r.grp) for r in
+                groups.read(spark).select("doc_id", "grp").collect()}
+    assert standing == oneshot and oneshot
+    # the cadence really compacted: a 'compact' operation is in history
+    assert any(s["operation"] == "compact" for s in groups.snapshots())
