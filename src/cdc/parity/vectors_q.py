@@ -236,8 +236,10 @@ cw AS (SELECT CAST(vec_id AS INT) AS code, embedding
 subd AS (
   SELECT e.vec_id, j.j, c.code,
          list_sum(list_transform(generate_series(1, 8),
-             t -> (e.embedding[j.j * 8 + t] - c.embedding[j.j * 8 + t])
-                  * (e.embedding[j.j * 8 + t] - c.embedding[j.j * 8 + t])))
+             t -> (CAST(e.embedding[j.j * 8 + t] AS DOUBLE)
+                   - CAST(c.embedding[j.j * 8 + t] AS DOUBLE))
+                  * (CAST(e.embedding[j.j * 8 + t] AS DOUBLE)
+                     - CAST(c.embedding[j.j * 8 + t] AS DOUBLE))))
            AS dd
   FROM embeddings e
   CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
@@ -273,8 +275,10 @@ qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
 contrib AS (
   SELECT q.qid, cd.vec_id, cd.j,
          list_sum(list_transform(generate_series(1, 8),
-             t -> (q.qe[cd.j * 8 + t] - c.embedding[cd.j * 8 + t])
-                  * (q.qe[cd.j * 8 + t] - c.embedding[cd.j * 8 + t]))) AS dd
+             t -> (CAST(q.qe[cd.j * 8 + t] AS DOUBLE)
+                   - CAST(c.embedding[cd.j * 8 + t] AS DOUBLE))
+                  * (CAST(q.qe[cd.j * 8 + t] AS DOUBLE)
+                     - CAST(c.embedding[cd.j * 8 + t] AS DOUBLE)))) AS dd
   FROM qv q
   JOIN codes cd ON cd.vec_id <> q.qid
   JOIN cw c ON c.code = cd.code
@@ -288,7 +292,8 @@ ranked AS (
          row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
   FROM dist
 )
-SELECT qid, vec_id, round(adc, 6) AS adc6, CAST(rnk AS INT) AS rnk
+SELECT qid, vec_id, CAST(CAST(adc AS DECIMAL(28,6)) AS VARCHAR) AS adc6,
+       CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= 3
 """)
 def ann_pq_search(spark, sf_dir):
@@ -315,8 +320,10 @@ qa AS (
 contrib AS (
   SELECT qa.qid, a2.vec_id, cd.j,
          list_sum(list_transform(generate_series(1, 8),
-             t -> (qa.qe[cd.j * 8 + t] - c.embedding[cd.j * 8 + t])
-                  * (qa.qe[cd.j * 8 + t] - c.embedding[cd.j * 8 + t]))) AS dd
+             t -> (CAST(qa.qe[cd.j * 8 + t] AS DOUBLE)
+                   - CAST(c.embedding[cd.j * 8 + t] AS DOUBLE))
+                  * (CAST(qa.qe[cd.j * 8 + t] AS DOUBLE)
+                     - CAST(c.embedding[cd.j * 8 + t] AS DOUBLE)))) AS dd
   FROM qa
   JOIN assign a2 ON a2.cid = qa.cid AND a2.vec_id <> qa.qid
   JOIN codes cd ON cd.vec_id = a2.vec_id
@@ -331,7 +338,8 @@ ranked AS (
          row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
   FROM dist
 )
-SELECT qid, vec_id, round(adc, 6) AS adc6, CAST(rnk AS INT) AS rnk
+SELECT qid, vec_id, CAST(CAST(adc AS DECIMAL(28,6)) AS VARCHAR) AS adc6,
+       CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= 3
 """)
 def ann_ivfpq_search(spark, sf_dir):

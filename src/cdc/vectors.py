@@ -423,10 +423,15 @@ def pq_adc_search(queries: DataFrame, codes: DataFrame, cb: list,
                    lambda c, row: F.element_at(row, c + 1)),
         F.lit(0.0), lambda acc, x: acc + x)
     w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    # decimal cast, not round(): both engines quantize a shared double
+    # with identical HALF_UP semantics (round() diverges on exact .5
+    # decimal expansions — the repo-wide rendered-number rule)
     return (pairs.withColumn("adc", adc)
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= topk)
-            .select("qid", "vec_id", F.round("adc", 6).alias("adc6"),
+            .select("qid", "vec_id",
+                    F.col("adc").cast("decimal(28,6)").cast("string")
+                    .alias("adc6"),
                     F.col("rnk").cast("int").alias("rnk")))
 
 
