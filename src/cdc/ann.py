@@ -77,7 +77,10 @@ class IvfIndex:
         """Train the quantizer(s) on the FIRST batch and commit both the
         batch's assignment and the quantizer properties (idempotent
         commits; a crash between them re-trains deterministically from
-        the committed assignment's embeddings on replay).
+        the committed assignment's embeddings on replay — bit-exact for
+        ``iters=0``; Lloyd refinement sums floats in shuffle order, so
+        ``iters>0`` heals to an equivalent-but-not-bit-identical
+        quantizer: see ``cdc.vectors.pq_train``).
 
         ``pq_m`` — also train per-subspace PQ codebooks (IVF-PQ): every
         ingested vector additionally stores its M sub-space codes, and
@@ -120,8 +123,18 @@ class IvfIndex:
         if cent is None:
             raise ValueError("index has no trained quantizer — call "
                              "train_on with the first batch")
-        self._commit_assigned(spark, vecs, cent, key,
-                              cb=self.pq_codebooks(spark))
+        cb = self.pq_codebooks(spark)
+        snap = self.table.current_snapshot()
+        if cb is None and snap is not None and \
+                "codes" in (snap.get("schema_ddl") or ""):
+            # the table carries PQ codes but the codebook property is gone
+            # (crash window / hand-edited properties): committing NULL-code
+            # rows would silently rank wrong in every ADC search
+            raise ValueError(
+                "table schema has a 'codes' column but no PQ codebooks are "
+                "stored — re-run train_on(pq_m=...) (crash-heal) before "
+                "ingesting, or rebuild via retrain_into")
+        self._commit_assigned(spark, vecs, cent, key, cb=cb)
 
     def _commit_assigned(self, spark, vecs, cent, key, cb=None):
         assigned = (ivf_assign(vecs.select("vec_id", "embedding"), cent)
@@ -181,6 +194,13 @@ class IvfIndex:
         probed = [r["centroid"] for r in
                   aq.select("centroid").distinct().collect()]
         cand = self.assignment(spark, centroids=probed)
+        if cand is None:
+            # trained-but-empty index (or every probed partition pruned
+            # away): an empty result, not an AttributeError
+            return spark.createDataFrame(
+                [], ("qid long, vec_id long, "
+                     + ("adc6 string" if adc else "cosine double")
+                     + ", rnk int"))
         if not adc:
             return cosine_topk(
                 aq, cand.select("vec_id", "embedding", "centroid"),
@@ -196,6 +216,10 @@ class IvfIndex:
         """Per-centroid drift monitor: member count + mean/min cosine to
         the centroid. A falling mean is the retrain signal."""
         df = self.table.read(spark)
+        if df is None:
+            return spark.createDataFrame(
+                [], "centroid int, n_vectors long, mean_cos double, "
+                    "min_cos double")
         return (df.groupBy("centroid")
                 .agg(F.count(F.lit(1)).alias("n_vectors"),
                      F.round(F.avg("cos6"), 6).alias("mean_cos"),
@@ -204,16 +228,27 @@ class IvfIndex:
 
 def retrain_into(spark: SparkSession, old: IvfIndex, new_root: str,
                  key: str = "retrain-0", n_centroids: int = 8,
-                 iters: int = 0, n_partitions: int | None = None
+                 iters: int = 0, n_partitions: int | None = None,
+                 pq_m: int | None = None, pq_k: int | None = None
                  ) -> IvfIndex:
     """The re-train seam: REBUILD the index into a fresh root from the
     standing embeddings (new quantizer -> full re-assignment -> one
     commit), leaving the old index readable throughout; the caller swaps
     a catalog pointer when done. In-place re-assignment is deliberately
     not offered — it would move keys across partitions, violating the
-    part_cols layout contract."""
+    part_cols layout contract.
+
+    PQ carries over: when the old index stored codebooks, the rebuild
+    re-trains them too (same subspace geometry unless ``pq_m``/``pq_k``
+    override it) — otherwise the cutover would silently break every
+    ``search(adc=True)`` caller."""
     new = IvfIndex(new_root,
                    n_partitions=n_partitions or old.table.n_partitions)
     vecs = old.table.read(spark).select("vec_id", "embedding")
-    new.train_on(spark, vecs, key, n_centroids=n_centroids, iters=iters)
+    old_cb = old.pq_codebooks(spark)
+    if old_cb is not None and pq_m is None:
+        pq_m, pq_k = len(old_cb), len(old_cb[0])
+    new.train_on(spark, vecs, key, n_centroids=n_centroids, iters=iters,
+                 pq_m=pq_m, pq_k=pq_k if pq_k is not None else 16,
+                 dim=(len(old_cb) * len(old_cb[0][0]) if old_cb else 64))
     return new

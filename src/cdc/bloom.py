@@ -74,6 +74,18 @@ class Bloom:
     def nbytes(self) -> int:
         return int(self.words.nbytes)
 
+    def __getstate__(self):
+        # the broadcast cache holds a SparkContext, which can never be
+        # pickled — drop it so a USED Bloom still serializes (UDF closures,
+        # persistence); the receiving side re-ships on first use
+        d = dict(self.__dict__)
+        d.pop("_bc", None)
+        return d
+
+    def __setstate__(self, d):
+        for k, v in d.items():
+            object.__setattr__(self, k, v)
+
     def broadcast(self, spark: SparkSession):
         """The bitset as a SparkContext broadcast, created ONCE per Bloom
         instance and reused by every later prefilter in the session —

@@ -51,6 +51,7 @@ def merge_apply(
     batch_final: DataFrame,
     keys: Sequence[str] = KEY_COLS,
     value_cols: Sequence[str] | None = None,
+    keep_on_delete: Sequence[str] = (),
 ) -> DataFrame:
     """Return the new state: state FULL OUTER JOIN batch_final on keys,
     resolved per the CDC rules above.
@@ -67,6 +68,13 @@ def merge_apply(
     losers keep their old value. Matching columns with different but
     coercible types (int->long, float->double) widen via Spark's
     when/otherwise coercion.
+
+    ``keep_on_delete`` — value columns a DELETE must NOT null out. A
+    table laid out with ``part_cols`` beyond the key routes rows by
+    those columns; a tombstone with a NULL part column would hash to the
+    wrong partition and a merge-on-read reconcile (scoped to
+    delta-carrying partitions) would never meet the live row it
+    retires. The committer passes its non-key part columns here.
     """
     if value_cols is None:
         batch_vals = [c for c in batch_final.columns
@@ -100,9 +108,12 @@ def merge_apply(
     # tombstones older than the source's max reordering horizon.
     sel = [F.coalesce(state[k], F.col(f"_b_{k}")).alias(k) for k in keys]
     is_del = batch_wins & (F.col("_b_op") == "D")
+    kept = set(keep_on_delete)
     for c in value_cols:
         old = state[c] if c in state.columns else F.lit(None)
-        sel.append(F.when(is_del, F.lit(None)).when(batch_wins, F.col(f"_bv_{c}")).otherwise(old).alias(c))
+        first = (F.when(is_del, F.coalesce(F.col(f"_bv_{c}"), old))
+                 if c in kept else F.when(is_del, F.lit(None)))
+        sel.append(first.when(batch_wins, F.col(f"_bv_{c}")).otherwise(old).alias(c))
     new_sha = (
         F.sha2(F.col("_bv_content"), 256) if "content" in value_cols else F.lit(None).cast("string")
     )
@@ -139,19 +150,25 @@ def empty_state(spark, batch_final: DataFrame, keys: Sequence[str] = KEY_COLS,
 
 def batch_to_state_rows(batch_final: DataFrame,
                         keys: Sequence[str] = KEY_COLS,
-                        value_cols: Sequence[str] | None = None) -> DataFrame:
+                        value_cols: Sequence[str] | None = None,
+                        keep_on_delete: Sequence[str] = ()) -> DataFrame:
     """Project an LWW-collapsed batch into current-state row shape (the
     delta layer written by merge-on-read commits): keys + values + system
-    columns, with 'D' ops becoming tombstone rows."""
+    columns, with 'D' ops becoming tombstone rows. ``keep_on_delete`` —
+    same contract as ``merge_apply``: non-key partition columns survive
+    the tombstone so it routes to the live row's partition."""
     if value_cols is None:
         value_cols = [c for c in batch_final.columns
                       if c not in (*keys, "lsn", "ts", "op", "batch_id", "schema_version")]
     is_del = F.col("op") == "D"
+    kept = set(keep_on_delete)
     sha = (F.when(is_del, F.lit(None)).otherwise(F.sha2(F.col("content"), 256))
            if "content" in value_cols else F.lit(None).cast("string"))
     return batch_final.select(
         *keys,
-        *[F.when(is_del, F.lit(None)).otherwise(F.col(c)).alias(c) for c in value_cols],
+        *[(F.col(c) if c in kept
+           else F.when(is_del, F.lit(None)).otherwise(F.col(c))).alias(c)
+          for c in value_cols],
         F.col("lsn").alias("_lsn"),
         F.col("ts").alias("_updated_ts"),
         sha.alias("_content_sha256"),

@@ -266,8 +266,16 @@ def replay(
 
         k = max(1, batches_per_commit)
         ids = log.select("batch_id").distinct()
+        # PINNED (localCheckpoint) because TWO actions consume it: the
+        # per-partition counts collect and the groups collect. Without the
+        # pin, spark_partition_id is re-evaluated per action and the range
+        # boundaries can shift between jobs (fresh boundary sampling, AQE),
+        # so the offset map from action 1 could mismatch action 2's _p
+        # values — wrong global ranks, non-reproducible grp-<lo>-<hi> keys,
+        # and broken is_committed resume skipping.
         rp = (ids.repartitionByRange(64, "batch_id")
-              .withColumn("_p", F.spark_partition_id()))
+              .withColumn("_p", F.spark_partition_id())
+              .localCheckpoint(eager=True))
         cnts = {r["_p"]: r["c"] for r in
                 rp.groupBy("_p").agg(F.count(F.lit(1)).alias("c")).collect()}
         off, acc = {}, 0

@@ -451,6 +451,23 @@ def verify_table(spark: SparkSession, table: CdcTable,
         if bad_part:
             errors.append(f"{bad_part} stored rows sit in the wrong "
                           f"partition for their key")
+        if table.part_cols != table.key_cols:
+            # part-override tables: the partition is NOT a function of the
+            # key, so a key can end up LIVE in two partitions (the
+            # cross-commit contract violation the commit-time guard cannot
+            # see — table.py __init__). One groupBy over the live read;
+            # LWW/merge would silently keep both such rows, so this is the
+            # authoritative offline detector.
+            live = table.read(spark, snapshot_id=snapshot_id)
+            dup = (live.groupBy(*table.key_cols)
+                   .agg(F.countDistinct(PART_COL).alias("_np"))
+                   .filter(F.col("_np") > 1).count())
+            if dup:
+                errors.append(
+                    f"{dup} keys are live in more than one partition "
+                    f"(part_cols contract violation — a key was "
+                    f"re-committed under a different {table.part_cols} "
+                    f"value without retiring the old row)")
         return {"ok": not errors, "errors": errors,
                 "files_checked": len(files),
                 "files_data_checked": files_data_checked,

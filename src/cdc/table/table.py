@@ -145,7 +145,8 @@ class CdcTable:
                  n_partitions: int = 16, files_per_partition: int = 1,
                  layout: str = "repo_hash", bloom_filters: bool | None = None,
                  stats_cols: Sequence[str] = (),
-                 part_cols: Sequence[str] | None = None):
+                 part_cols: Sequence[str] | None = None,
+                 enforce_part_cols: bool = True):
         """``layout``:
         - 'repo_hash' — part = pmod(xxhash64(repo), P): partition pruning
           by repo; the committer repartitions on (part, file_group).
@@ -169,7 +170,21 @@ class CdcTable:
         read miss the old row and LWW would silently keep both. When the
         override differs from the key columns the committer adds its own
         repartition on the partition id (upstream LWW clustering is by
-        key, which no longer equals the partition function)."""
+        key, which no longer equals the partition function).
+
+        ``enforce_part_cols`` (part-override tables only) — commit-time
+        guard: refuse a batch that carries one key under two different
+        partition values, or a live row with a NULL part column (folded
+        into commit_merge's existing pre-aggregate; one narrow agg job in
+        commit_delta). The CROSS-commit form of the violation — a live
+        key already standing in a partition this batch doesn't touch —
+        is undetectable at commit time by construction (the partition
+        function cannot be inverted to find the old row), so the
+        sanctioned way to MOVE a key is retire-then-insert (a tombstone
+        carrying the OLD part values, then the new row: see
+        cdc.stream.dedup.apply_doc_changes / cdc.ann.IvfIndex), and
+        ``maintenance.verify_table(check_data=True)`` is the offline
+        detector for tables corrupted before the guard existed."""
         self.root = root
         self.key_cols = tuple(key_cols)
         self.part_cols = tuple(part_cols) if part_cols else tuple(key_cols)
@@ -187,6 +202,8 @@ class CdcTable:
         # opened without it just see (and prune on) whatever the writer
         # recorded. Columns absent from a frame are skipped silently.
         self.stats_cols = tuple(stats_cols)
+        # write-time preference (like bloom_filters), not layout identity
+        self.enforce_part_cols = enforce_part_cols
         # writer-unique staging suffix: concurrent writers (or a CAS-retry
         # racing another committer) can hold the SAME next snapshot id —
         # without this, both would stage into one deterministic dir and
@@ -203,6 +220,41 @@ class CdcTable:
         if self.layout == "key_hash":
             return key_part_expr(self.part_cols, self.n_partitions)
         return part_expr(self.part_cols[0], self.n_partitions)
+
+    def _part_beyond_key(self) -> list[str]:
+        return [c for c in self.part_cols if c not in self.key_cols]
+
+    def _part_guard_aggs(self) -> list:
+        """Guard aggregates folded into a commit's pre-pass (part-override
+        tables): live rows must carry NO NULL part column and at most one
+        partition value per key IN THE BATCH (see __init__ docstring for
+        why the cross-commit form is verify_table's job)."""
+        live = F.col("op") != "D"
+        key_s = F.when(live, F.struct(*[F.col(c) for c in self.key_cols]))
+        kp_s = F.when(live, F.struct(*[F.col(c) for c in self.key_cols],
+                                     F.col(PART_COL)))
+        nulls = [F.col(c).isNull() for c in self._part_beyond_key()]
+        any_null = nulls[0]
+        for n in nulls[1:]:
+            any_null = any_null | n
+        null_part = live & any_null
+        return [F.countDistinct(key_s).alias("_g_nk"),
+                F.countDistinct(kp_s).alias("_g_nkp"),
+                F.sum(null_part.cast("long")).alias("_g_null")]
+
+    def _check_part_guard(self, row) -> None:
+        if (row["_g_null"] or 0) > 0:
+            raise ValueError(
+                f"part_cols contract violation: {row['_g_null']} live batch "
+                f"rows carry a NULL partition column ({self.part_cols}) — "
+                f"every committed frame must bind them")
+        if row["_g_nkp"] > row["_g_nk"]:
+            raise ValueError(
+                "part_cols contract violation: the batch carries at least "
+                "one key under two different partition values — partition "
+                "columns are immutable per key; to MOVE a key, retire it "
+                "first (a 'D' row carrying the OLD part values), then "
+                "insert the new row in a later commit")
 
     # -- partition-spec persistence -------------------------------------------
     def table_config(self) -> dict:
@@ -872,7 +924,15 @@ class CdcTable:
                     f"table has uncompacted {other}-image delta layers — "
                     f"compact before committing {delta_image}-image deltas")
 
-        rows = M.batch_to_state_rows(batch_final, keys=self.key_cols)
+        beyond = self._part_beyond_key()
+        if beyond and self.enforce_part_cols:
+            # MOR commits have no other pre-write action to fold into —
+            # one narrow agg over the (small) batch is the guard's price
+            row = (batch_final.withColumn(PART_COL, self.part_of())
+                   .agg(*self._part_guard_aggs()).collect()[0])
+            self._check_part_guard(row)
+        rows = M.batch_to_state_rows(batch_final, keys=self.key_cols,
+                                     keep_on_delete=beyond)
         if parent is not None:
             # union-of-schemas evolution: the recorded snapshot schema must
             # keep every column the table already has (a delta batch whose
@@ -932,8 +992,14 @@ class CdcTable:
         self._check_config(parent)
 
         batch = batch_final.withColumn(PART_COL, self.part_of())
+        beyond = self._part_beyond_key()
+        guard = (self._part_guard_aggs()
+                 if beyond and self.enforce_part_cols else [])
         agg = batch.agg(F.max("lsn").alias("h"),
-                        F.collect_set(PART_COL).alias("parts")).collect()[0]
+                        F.collect_set(PART_COL).alias("parts"),
+                        *guard).collect()[0]
+        if guard:
+            self._check_part_guard(agg)
         if agg["h"] is None:  # empty batch; -1 = the empty-table lsn sentinel
             touched, batch_lsn_high = [], (parent["lsn_high"] if parent else -1)
         else:
@@ -945,8 +1011,13 @@ class CdcTable:
         if state is None:
             state = M.empty_state(spark, batch_final, keys=self.key_cols)
             state = state.withColumn(PART_COL, self.part_of())
-        merged = (apply_fn or M.merge_apply)(state.drop(PART_COL),
-                                             batch_final, keys=self.key_cols)
+        if apply_fn is None:
+            # tombstones on part-override tables must keep their routing
+            # columns (see merge_apply's keep_on_delete contract)
+            from functools import partial
+            apply_fn = partial(M.merge_apply, keep_on_delete=beyond)
+        merged = apply_fn(state.drop(PART_COL),
+                          batch_final, keys=self.key_cols)
         merged = merged.withColumn(PART_COL, self.part_of())
 
         sid = store.next_snapshot_id(self.root)

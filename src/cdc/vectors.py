@@ -321,7 +321,16 @@ def pq_train(vecs: DataFrame, m: int = PQ_M, k: int = PQ_K,
     the c-th lowest vec_id's subvector (public deterministic stand-in;
     k-means|| per subspace has the same interface). ``iters`` Lloyd steps
     refine per subspace (mean of assigned subvectors; empty cells keep
-    their codeword)."""
+    their codeword).
+
+    Determinism: BIT-exact reproducibility (the crash-heal re-train
+    contract of ``IvfIndex.train_on``) holds for ``iters=0`` — the seeded
+    codebook is a pure function of the vector set. Lloyd steps use
+    ``F.avg`` over a shuffle, whose float summation ORDER is not
+    deterministic, so an ``iters>0`` re-train can differ in the last bits
+    from the codebook that stamped already-committed codes; standing
+    indexes that rely on crash-heal should train with ``iters=0`` or
+    re-encode after healing."""
     d_sub = dim // m
     seeds = (vecs.orderBy("vec_id").limit(k)
              .select(as_double("embedding").alias("e")).collect())
