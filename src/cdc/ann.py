@@ -29,8 +29,6 @@ Iceberg's rewrite-then-swap shape.
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,23 +50,32 @@ class IvfIndex:
                               part_cols=("centroid",))
 
     # -- quantizer lifecycle ---------------------------------------------------
+    def _prop_payload(self, prop: str):
+        """A training product from the table's properties: an
+        ``artifact:`` side-file reference (written once, O(1) bytes per
+        snapshot — see ``store.write_artifact``) or, for pre-artifact
+        tables, legacy inline JSON."""
+        from cdc.meta import store
+        snap = self.table.current_snapshot()
+        raw = ((snap or {}).get("properties") or {}).get(prop)
+        if raw is None:
+            return None
+        return store.read_artifact_ref(self.table.root, raw)
+
     def centroids(self, spark: SparkSession) -> DataFrame | None:
         """The frozen quantizer as a (cid, cemb) frame, from the table's
         own properties (None before training)."""
-        snap = self.table.current_snapshot()
-        raw = ((snap or {}).get("properties") or {}).get(CENTROIDS_PROP)
-        if raw is None:
+        payload = self._prop_payload(CENTROIDS_PROP)
+        if payload is None:
             return None
         rows = [(int(c["cid"]), [float(x) for x in c["cemb"]])
-                for c in json.loads(raw)]
+                for c in payload]
         return spark.createDataFrame(rows, "cid int, cemb array<double>")
 
     def pq_codebooks(self, spark: SparkSession) -> list | None:
         """The frozen PQ codebooks CB[m][k][dim/m] (None when the index
         was trained without PQ)."""
-        snap = self.table.current_snapshot()
-        raw = ((snap or {}).get("properties") or {}).get(PQ_PROP)
-        return None if raw is None else json.loads(raw)
+        return self._prop_payload(PQ_PROP)
 
     def train_on(self, spark: SparkSession, vecs: DataFrame, key: str,
                  n_centroids: int = 8, iters: int = 0,
@@ -102,14 +109,21 @@ class IvfIndex:
                       dim=dim) if pq_m else None
         if not self.table.is_committed(key):
             self._commit_assigned(spark, vecs, cent, key, cb=cb)
+        from cdc.meta import store
         from cdc.table import alter
+        # training products are IMMUTABLE side files; the property holds
+        # only the artifact path, so snapshot size stays independent of
+        # C·dim across every later per-epoch commit
         if not done_cent:
-            payload = json.dumps([
-                {"cid": r["cid"], "cemb": list(r["cemb"])}
-                for r in sorted(cent.collect(), key=lambda r: r["cid"])])
-            alter.set_property(self.table, CENTROIDS_PROP, payload)
+            payload = [{"cid": r["cid"], "cemb": list(r["cemb"])}
+                       for r in sorted(cent.collect(),
+                                       key=lambda r: r["cid"])]
+            ref = store.write_artifact(self.table.root, "ivf-centroids",
+                                       payload)
+            alter.set_property(self.table, CENTROIDS_PROP, ref)
         if cb is not None and not done_pq:
-            alter.set_property(self.table, PQ_PROP, json.dumps(cb))
+            ref = store.write_artifact(self.table.root, "pq-codebooks", cb)
+            alter.set_property(self.table, PQ_PROP, ref)
 
     # -- ingest ------------------------------------------------------------------
     def ingest(self, spark: SparkSession, vecs: DataFrame,
@@ -123,6 +137,10 @@ class IvfIndex:
         if cent is None:
             raise ValueError("index has no trained quantizer — call "
                              "train_on with the first batch")
+        cb = self._codebooks_checked(spark)
+        self._commit_assigned(spark, vecs, cent, key, cb=cb)
+
+    def _codebooks_checked(self, spark):
         cb = self.pq_codebooks(spark)
         snap = self.table.current_snapshot()
         if cb is None and snap is not None and \
@@ -134,7 +152,81 @@ class IvfIndex:
                 "table schema has a 'codes' column but no PQ codebooks are "
                 "stored — re-run train_on(pq_m=...) (crash-heal) before "
                 "ingesting, or rebuild via retrain_into")
-        self._commit_assigned(spark, vecs, cent, key, cb=cb)
+        return cb
+
+    def ingest_changes(self, spark: SparkSession, changes: DataFrame,
+                       key: str) -> None:
+        """CDC-complete one OP-TYPED batch through the standing index —
+        the update/delete half ``ingest`` (insert-only) doesn't cover.
+        ``changes``: (vec_id, op, embedding, embedding_pre); op ∈
+        {I,U,D}; ``embedding`` is the POST image (NULL for D),
+        ``embedding_pre`` the PRE image (NULL for a first insert) —
+        exactly what ``timetravel.change_feed(images='both')`` emits.
+
+        The frozen quantizer makes U/D routable WITHOUT any reverse
+        lookup: a row's centroid partition recomputes deterministically
+        from its pre-image embedding. Deletes tombstone the assignment
+        row IN its old centroid partition; updates whose embedding
+        crossed a centroid boundary are the sanctioned part_cols key
+        move — a retire commit (tombstones at lsn, old partitions)
+        followed by the live commit (lsn+1, new partitions); same-
+        centroid updates are plain LWW upserts. ``search`` can never
+        return a deleted or moved-away row: tombstones retire it at
+        read. Exactly-once per ``key`` (the retire commit under
+        ``<key>-retire``); a crash between the two commits heals on
+        replay via the ledger."""
+        if self.table.is_committed(key):
+            return
+        cent = self.centroids(spark)
+        if cent is None:
+            raise ValueError("index has no trained quantizer — call "
+                             "train_on with the first batch")
+        cb = self._codebooks_checked(spark)
+        changes = changes.localCheckpoint(eager=True)
+        if changes.filter((F.col("op") == "D")
+                          & F.col("embedding_pre").isNull()) \
+                .limit(1).count():
+            raise ValueError(
+                "a DELETE must carry embedding_pre — the frozen quantizer "
+                "recomputes the row's centroid partition from it (key-only "
+                "lookups cannot route on a part-override table)")
+        lsn = self.table.lsn_high() + 1
+        old = (ivf_assign(
+            changes.filter(F.col("embedding_pre").isNotNull())
+            .select("vec_id", F.col("embedding_pre").alias("embedding")),
+            cent)
+            .select("vec_id", "embedding",
+                    F.col("centroid").alias("_old"))
+            .localCheckpoint(eager=True))
+        live = (changes.filter(F.col("op") != "D")
+                .select("vec_id", "embedding"))
+        assigned = (ivf_assign(live, cent)
+                    .select("vec_id", "embedding", "centroid",
+                            F.round("cos", 6).alias("cos6")))
+        if cb is not None:
+            assigned = assigned.withColumn("codes", pq_codes_col(cb))
+        assigned = assigned.localCheckpoint(eager=True)
+        moved = (assigned.select("vec_id",
+                                 F.col("centroid").alias("_new"))
+                 .join(old.select("vec_id", "_old"), "vec_id")
+                 .filter(F.col("_old") != F.col("_new"))
+                 .select("vec_id"))
+        gone = changes.filter(F.col("op") == "D").select("vec_id")
+        retire = (old.join(gone.unionByName(moved).distinct(),
+                           "vec_id", "left_semi")
+                  .select("vec_id", "embedding",
+                          F.col("_old").alias("centroid"),
+                          F.lit(None).cast("double").alias("cos6")))
+        if cb is not None:
+            retire = retire.withColumn(
+                "codes", F.lit(None).cast("array<int>"))
+        rkey = f"{key}-retire"
+        if not self.table.is_committed(rkey) and retire.limit(1).count():
+            rb = (_as_batch(retire, lsn, rkey)
+                  .withColumn("op", F.lit("D")))
+            self.table.commit_merge(spark, rb, rkey)
+        self.table.commit_merge(spark, _as_batch(assigned, lsn + 1, key),
+                                key)
 
     def _commit_assigned(self, spark, vecs, cent, key, cb=None):
         assigned = (ivf_assign(vecs.select("vec_id", "embedding"), cent)

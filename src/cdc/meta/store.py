@@ -93,6 +93,46 @@ def read_snapshot(root: str, snapshot_id: int) -> dict[str, Any]:
     return read_snapshot_file(snap_path(root, snapshot_id))
 
 
+ARTIFACT_REF = "artifact:"
+
+
+def write_artifact(root: str, name: str, payload: Any) -> str:
+    """Write an IMMUTABLE side artifact under ``meta/`` and return the
+    property value referencing it (``artifact:<filename>``). Large
+    training products (IVF quantizers, PQ codebooks) must NOT live
+    inline in snapshot ``properties`` — properties carry forward into
+    EVERY subsequent snapshot, so a 4096×1024-float quantizer would be
+    re-serialized on every per-epoch commit (~80 MB of pure metadata
+    write amplification). An artifact is written ONCE; snapshots hold
+    only its path, and each snapshot pins the artifact version that
+    produced it (time travel reads the right one for free).
+
+    Content-addressed (sha256 of the canonical JSON): a crash-replay
+    re-write is a byte-identical no-op and two writers of the same
+    payload converge on one file. ``maintenance.vacuum_orphans`` removes
+    artifacts referenced by no remaining snapshot."""
+    import hashlib
+    blob = json.dumps(payload, sort_keys=True, separators=(",", ":"))
+    h = hashlib.sha256(blob.encode()).hexdigest()[:16]
+    fname = f"artifact-{name}-{h}.json"
+    path = os.path.join(meta_dir(root), fname)
+    os.makedirs(meta_dir(root), exist_ok=True)
+    if not os.path.exists(path):
+        _fsync_json(path, payload)
+    return ARTIFACT_REF + fname
+
+
+def read_artifact_ref(root: str, value: str) -> Any:
+    """Resolve a property value that may be an ``artifact:`` reference —
+    returns the artifact's payload, or ``json.loads(value)`` for a
+    legacy inline property (pre-artifact tables keep reading)."""
+    if value.startswith(ARTIFACT_REF):
+        with open(os.path.join(meta_dir(root),
+                               value[len(ARTIFACT_REF):])) as f:
+            return json.load(f)
+    return json.loads(value)
+
+
 def list_snapshots(root: str) -> list[dict[str, Any]]:
     d = meta_dir(root)
     if not os.path.isdir(d):

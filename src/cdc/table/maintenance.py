@@ -486,12 +486,18 @@ def vacuum_orphans(table: CdcTable) -> list[str]:
     snapshots — only ones referenced by zero live snapshots go)."""
     live_dirs: set[str] = set()
     live_manifests: set[str] = set()
+    live_artifacts: set[str] = set()
     for snap in table.snapshots():
         for f in snap["files"]:
             # files live under data/snap-XXXX/part=N/...
             live_dirs.add(f["path"].split("/", 2)[1])
         for m in snap.get("manifests", ()):
             live_manifests.add(m["path"])
+        for v in (snap.get("properties") or {}).values():
+            # artifact side files (quantizers/codebooks) are pinned by
+            # the snapshots whose properties reference them
+            if isinstance(v, str) and v.startswith(store.ARTIFACT_REF):
+                live_artifacts.add(v[len(store.ARTIFACT_REF):])
     removed = []
     data_root = os.path.join(table.root, "data")
     if os.path.isdir(data_root):
@@ -502,7 +508,10 @@ def vacuum_orphans(table: CdcTable) -> list[str]:
     meta_root = store.meta_dir(table.root)
     if os.path.isdir(meta_root):
         for name in sorted(os.listdir(meta_root)):
-            if name.startswith("manifest-") and name not in live_manifests:
+            if ((name.startswith("manifest-")
+                 and name not in live_manifests)
+                    or (name.startswith("artifact-")
+                        and name not in live_artifacts)):
                 os.remove(os.path.join(meta_root, name))
                 removed.append(name)
     return removed

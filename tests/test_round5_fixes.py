@@ -74,6 +74,121 @@ def test_ingest_refuses_codes_without_codebooks(spark, tmp_path):
         idx.ingest(spark, _vecs(spark, range(100, 110)), "b1")
 
 
+def test_quantizer_artifact_sidefile(spark, tmp_path):
+    """VERDICT r4 #4: quantizer + PQ codebooks live in an IMMUTABLE side
+    file, not inline in snapshot properties — per-ingest snapshot bytes
+    must be independent of C·dim, time travel pins the artifact path,
+    legacy inline properties still read, and vacuum keeps referenced
+    artifacts while removing orphaned ones."""
+    import glob
+    import json
+    import os
+
+    from cdc.ann import CENTROIDS_PROP, IvfIndex
+    from cdc.meta import store
+    from cdc.table.maintenance import vacuum_orphans
+
+    def snap_bytes(idx):
+        snap = idx.table.current_snapshot()
+        return os.path.getsize(
+            store.snap_path(idx.table.root, snap["snapshot_id"]))
+
+    small = IvfIndex(str(tmp_path / "s"), n_partitions=4)
+    small.train_on(spark, _vecs(spark, range(30), dim=8), "t0",
+                   n_centroids=2)
+    big = IvfIndex(str(tmp_path / "b"), n_partitions=4)
+    big.train_on(spark, _vecs(spark, range(80), dim=64), "t0",
+                 n_centroids=32, pq_m=8, pq_k=16, dim=64)
+    small.ingest(spark, _vecs(spark, range(100, 110), dim=8), "b1")
+    big.ingest(spark, _vecs(spark, range(100, 110), dim=64), "b1")
+    # a 32x64 quantizer + 8x16x8 codebooks inline would dwarf the small
+    # snapshot; as artifact refs the two snapshots are within noise
+    assert abs(snap_bytes(big) - snap_bytes(small)) < 2048
+    ref = big.table.current_snapshot()["properties"][CENTROIDS_PROP]
+    assert ref.startswith(store.ARTIFACT_REF)
+    arts = glob.glob(os.path.join(store.meta_dir(big.table.root),
+                                  "artifact-*.json"))
+    assert len(arts) == 2   # centroids + codebooks, written ONCE
+    # search still works end-to-end through the artifact read (C=32 over
+    # 80 vectors: a probed cluster may hold fewer than k members)
+    assert big.search(spark, _vecs(spark, [3], dim=64), k=3, nprobe=4,
+                      adc=True).count() >= 1
+
+    # legacy inline property (pre-artifact table) still reads
+    from cdc.table import alter
+    inline = json.dumps([{"cid": 0, "cemb": [0.1] * 8},
+                         {"cid": 1, "cemb": [0.9] * 8}])
+    alter.set_property(small.table, CENTROIDS_PROP, inline)
+    assert small.centroids(spark).count() == 2
+
+    # vacuum: referenced artifacts survive, an orphan goes
+    orphan = os.path.join(store.meta_dir(big.table.root),
+                          "artifact-zzz-dead.json")
+    with open(orphan, "w") as f:
+        f.write("[]")
+    gone = vacuum_orphans(big.table)
+    assert "artifact-zzz-dead.json" in gone
+    assert all(os.path.exists(a) for a in arts)
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, op string, embedding array<float>, "
+              "embedding_pre array<float>")
+
+
+def test_ivf_ingest_changes_ud(spark, tmp_path):
+    """Updates and deletes through the standing IVF index: deletes
+    tombstone in their OLD centroid partition, a centroid-crossing update
+    is retire-then-insert, search never returns a deleted or moved-away
+    row, and the part_cols layout stays verifiably clean."""
+    from cdc.ann import IvfIndex
+    from cdc.table.maintenance import verify_table
+    from cdc.vectors import ivf_assign
+
+    idx = IvfIndex(str(tmp_path / "ivf"), n_partitions=4)
+    vecs = _vecs(spark, range(40))
+    idx.train_on(spark, vecs, "t0", n_centroids=4)
+    cent = idx.centroids(spark)
+    by_c = {r["vec_id"]: r["centroid"] for r in
+            ivf_assign(vecs, cent).collect()}
+    # a vector whose embedding becomes another cluster's member must move
+    mover = next(i for i in range(40) if by_c[i] != by_c[0])
+    emb = {r["vec_id"]: list(r["embedding"]) for r in vecs.collect()}
+    post = emb[0]                      # mover adopts cluster-of-0's point
+    ch = _chg(spark, [
+        (5, "D", None, emb[5]),
+        (7, "D", None, emb[7]),
+        (mover, "U", post, emb[mover]),
+        (11, "U", emb[11], emb[11]),               # same-centroid upsert
+        (100, "I", emb[1], None),                  # brand-new vector
+    ])
+    idx.ingest_changes(spark, ch, "c1")
+
+    rows = {r["vec_id"]: r["centroid"]
+            for r in idx.table.read(spark).collect()}
+    assert 5 not in rows and 7 not in rows
+    assert rows[mover] == by_c[0] and rows[100] == by_c[1]
+    assert len([v for v in rows if v == mover]) == 1
+    got = idx.search(spark, _vecs(spark, range(40)), k=3, nprobe=4)
+    assert not {r["vec_id"] for r in got.collect()} & {5, 7}
+    res = verify_table(spark, idx.table, check_data=True)
+    assert res["ok"], res["errors"]
+
+    snap = idx.table.current_snapshot()["snapshot_id"]
+    idx.ingest_changes(spark, ch, "c1")            # re-delivered epoch
+    assert idx.table.current_snapshot()["snapshot_id"] == snap
+
+
+def test_ivf_ingest_changes_requires_pre_for_delete(spark, tmp_path):
+    from cdc.ann import IvfIndex
+
+    idx = IvfIndex(str(tmp_path / "ivf"), n_partitions=4)
+    idx.train_on(spark, _vecs(spark, range(20)), "t0", n_centroids=2)
+    with pytest.raises(ValueError, match="embedding_pre"):
+        idx.ingest_changes(spark, _chg(spark, [(3, "D", None, None)]), "c1")
+
+
 # -- part_cols contract enforcement (VERDICT r4 next-round #2) -----------------
 
 def _band_batch(spark, rows, key="b0"):
