@@ -68,21 +68,22 @@ _DRIVER_WINDOW = [
     "w2_lag_transitions", "w4_ntile_deciles", "o3_topk_hot",
     # streaming-shape + functions
     "t4_session_window", "f1_sha256_invariant", "a10_patch_mor_lww",
-    # document dedup / training-set assembly (incl. the continuous-dedup
-    # pair probe + standing-state merge, the round-3 flagship additions;
-    # exact doc dedup is the same operator as a2_dedup_exact above, and
-    # SimHash pair extraction is the banded twin of dedup_simhash — both
-    # stay judge-verifiable outside the window, as do dedup_keepers (a
-    # group-by over dedup_groups_cont's in-window components) and
-    # dedup_embed_lsh_incr (the vector instantiation of dedup_lsh_incr's
-    # in-window probe))
-    "dedup_minhash_lsh", "dedup_lsh_incr", "dedup_groups_cont",
-    "dedup_simhash", "txt_domain_quota", "txt_decontaminate",
-    # embeddings / ANN (ann_ivf_incr = the standing-index ingest path,
-    # round 4; the np2 probe variant of the in-window ann_ivf_search and
-    # the fake-codec mm_decode_meta rotate out — both stay
-    # judge-verifiable past the window)
-    "ann_ivf_search", "ann_ivf_incr", "ann_ivfpq_search", "dedup_embed_lsh",
+    # document dedup / training-set assembly. Round 5 rotates IN the two
+    # CDC-complete standing-state queries (dedup_groups_upd = updates +
+    # deletes through apply_doc_changes vs a final-corpus recompute;
+    # ann_ivf_cdc = the same through IvfIndex.ingest_changes) and OUT
+    # dedup_simhash (its banded pair/incr twins stay judge-verifiable)
+    # and dedup_lsh_incr (composed inside the in-window
+    # dedup_groups_cont; still judge-verifiable standalone), as are
+    # dedup_keepers and dedup_embed_lsh_incr.
+    "dedup_minhash_lsh", "dedup_groups_upd", "dedup_groups_cont",
+    "txt_domain_quota", "txt_decontaminate",
+    # embeddings / ANN (ann_ivf_incr = insert-path standing-index ingest,
+    # round 4; ann_ivf_cdc = its update/delete half, round 5; the np2
+    # probe variant of the in-window ann_ivf_search and the fake-codec
+    # mm_decode_meta stay judge-verifiable past the window)
+    "ann_ivf_search", "ann_ivf_incr", "ann_ivf_cdc", "ann_ivfpq_search",
+    "dedup_embed_lsh",
     # multimodal + pandas-UDF families (mm_decode_ppm = REAL byte decode)
     "mm_decode_ppm", "v1_normalize_sha", "v3_policy_lww",
     # table format

@@ -771,6 +771,137 @@ def dedup_keepers_q(spark, sf_dir):
                     F.col("n_members").cast("long").alias("n_members")))
 
 
+# -- CDC-complete standing dedup state (round-5 flagship) ----------------------
+# The final corpus after the op-typed change epoch: %97==3 docs adopt their
+# floor-50 doc's text (joining that dup cluster), the +100000 copies of
+# %100==0 docs get a unique sentinel body (leaving their cluster), the
+# +200000 copies are DELETED, and fresh +300000 duplicates of %100==25 docs
+# are INSERTED. The oracle recomputes groups one-shot over this final
+# corpus — any stale band row, unsplit component or surviving deleted doc
+# in the standing state hash-mismatches. Singletons are part of the
+# standing assignment (grp = own id), so the oracle emits them too.
+_UPD_CORPUS = """corpus AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 97 = 3 THEN f.text ELSE d.text END AS text
+  FROM documents d JOIN documents f ON f.doc_id = d.doc_id - d.doc_id % 50
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         'replaced ' || CAST(doc_id AS VARCHAR) || ' sentinel unique body'
+           AS text
+  FROM documents WHERE doc_id % 100 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 50 = 0 AND doc_id % 100 <> 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text FROM documents
+  WHERE doc_id % 100 = 25
+)"""
+
+
+@q("dedup_groups_upd", f"""
+WITH RECURSIVE {_UPD_CORPUS},
+w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(words) - 2)) AS i) g
+),
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SQL}),
+edges AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT a AS id, a AS r FROM und
+  UNION
+  SELECT u.b AS id, reach.r FROM reach JOIN und u ON u.a = reach.id
+),
+comp AS (
+  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
+  FROM reach GROUP BY id
+)
+SELECT doc_id, group_id FROM comp
+UNION ALL
+SELECT doc_id, CAST(doc_id AS BIGINT) AS group_id FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+""")
+def dedup_groups_upd(spark, sf_dir):
+    """CDC-COMPLETE standing dedup state (the round-4 weak flag closed):
+    documents UPDATE and DELETE flow through
+    ``cdc.stream.dedup.apply_doc_changes`` — retire+insert band netting
+    from pre/post images (tombstones land in their OLD bucket partitions,
+    honoring the part_cols contract), affected components rebuilt from
+    current payloads (splits fall out by construction), everything else
+    O(changed docs + affected components). The standing GROUPS TABLE after
+    the change epoch must equal a one-shot recompute over the FINAL
+    corpus — updates that join a cluster, updates that leave one, deletes
+    that shrink or dissolve groups, and plain inserts all at once."""
+    from cdc.parity.udf_q import _scratch
+    from cdc.stream.dedup import (MINHASH, apply_doc_changes, dedup_tables,
+                                  ingest_dedup_batch)
+
+    d = _docs(spark, sf_dir)
+    root = _scratch("cdc_dedup_upd")
+    bands, groups = dedup_tables(f"{root}/b", f"{root}/g", n_partitions=8)
+    ingest_dedup_batch(spark, bands, groups, d.unionByName(_new_docs(d)),
+                       "e0", family=MINHASH)
+
+    i = F.col("doc_id")
+    floor50 = F.col("f.doc_id") == F.col("e.doc_id") - F.col("e.doc_id") % 50
+    upd_join = (d.alias("e").filter(F.col("e.doc_id") % 97 == 3)
+                .join(d.alias("f"), floor50)
+                .select(F.col("e.doc_id").alias("doc_id"),
+                        F.lit("U").alias("op"),
+                        F.col("f.text").alias("text"),
+                        F.col("e.text").alias("text_pre")))
+    upd_leave = (d.filter(i % 100 == 0)
+                 .select((i + 100000).alias("doc_id"),
+                         F.lit("U").alias("op"),
+                         F.concat(F.lit("replaced "), i.cast("string"),
+                                  F.lit(" sentinel unique body"))
+                         .alias("text"),
+                         F.col("text").alias("text_pre")))
+    dels = (d.filter(i % 100 == 0)
+            .select((i + 200000).alias("doc_id"), F.lit("D").alias("op"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.col("text").alias("text_pre")))
+    ins = (d.filter(i % 100 == 25)
+           .select((i + 300000).alias("doc_id"), F.lit("I").alias("op"),
+                   F.col("text"),
+                   F.lit(None).cast("string").alias("text_pre")))
+    changes = (upd_join.unionByName(upd_leave)
+               .unionByName(dels).unionByName(ins))
+
+    # the post-change corpus — what fetch_docs must serve (in a live
+    # pipeline this is the documents table itself, already merged)
+    base = (d.alias("e").join(d.alias("f"), floor50)
+            .select(F.col("e.doc_id").alias("doc_id"),
+                    F.when(F.col("e.doc_id") % 97 == 3, F.col("f.text"))
+                    .otherwise(F.col("e.text")).alias("text")))
+    final = (base.unionByName(upd_leave.select("doc_id", "text"))
+             .unionByName(d.filter((i % 50 == 0) & (i % 100 != 0))
+                          .select((i + 100000).alias("doc_id"), "text"))
+             .unionByName(ins.select("doc_id", "text")))
+
+    apply_doc_changes(
+        spark, bands, groups, changes, "c1", family=MINHASH,
+        fetch_docs=lambda sp, ids: final.join(ids, "doc_id", "left_semi"))
+    # the standing table stores a row only for docs that have ever been
+    # LABELED (pair endpoints / rebuild nodes) — a never-paired doc is
+    # implicitly its own group, so at corpus scale the assignment stays
+    # O(docs-in-groups), not O(corpus). Materialize the implicit
+    # singletons from the live corpus for the full-assignment compare.
+    g = (groups.read(spark)
+         .select("doc_id", F.col("grp").cast("long").alias("group_id")))
+    sing = (final.select("doc_id")
+            .join(g.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.col("doc_id").alias("group_id")))
+    return g.unionByName(sing)
+
+
 @q("txt_repetition", """
 WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
 g AS (

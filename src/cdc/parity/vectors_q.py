@@ -391,6 +391,68 @@ def ann_ivf_incr(spark, sf_dir):
             .select("vec_id", "centroid", "cos6"))
 
 
+# the post-change vector corpus for the CDC ingest query: %100==7 vectors
+# DELETED, %100==11 vectors UPDATED to the embedding of (vec_id - 10)
+# (crossing centroids when the source lives in another cluster), +100000
+# duplicates of %100==0 INSERTED. The quantizer stays FROZEN from the base
+# corpus (seeds vec_id < 8 — note vec 7 itself is deleted, which must NOT
+# change the quantizer), so the oracle scores the final corpus against the
+# original seed centroids.
+_CDC_FINAL = """(
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 NOT IN (7, 11)
+  UNION ALL
+  SELECT e.vec_id, b.embedding FROM embeddings e
+  JOIN embeddings b ON b.vec_id = e.vec_id - 10
+  WHERE e.vec_id % 100 = 11
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 100 = 0) e"""
+
+
+@q("ann_ivf_cdc", "WITH " + _IVF_ASSIGN.replace(
+    "FROM embeddings e CROSS JOIN cent c",
+    "FROM " + _CDC_FINAL + " CROSS JOIN cent c") + """
+SELECT vec_id, cid AS centroid, round(cos, 6) AS cos6 FROM assign
+""")
+def ann_ivf_cdc(spark, sf_dir):
+    """CDC-COMPLETE standing ANN index (round-4 next-round #3): one
+    op-typed epoch of deletes, updates and inserts through
+    ``IvfIndex.ingest_changes``. Deletes tombstone the assignment row IN
+    its old centroid partition (routed by re-assigning the PRE image
+    under the frozen quantizer — no reverse lookup); an update whose
+    embedding crossed a centroid boundary is the sanctioned
+    retire-then-insert key move; same-centroid updates are plain LWW
+    upserts. Returned: the ENTIRE standing table — the oracle recomputes
+    every final vector's assignment from scratch, so a surviving deleted
+    row, a stale embedding, or a key split across partitions all
+    hash-mismatch."""
+    from cdc.ann import IvfIndex
+    from cdc.parity.udf_q import _scratch
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = IvfIndex(f"{_scratch('cdc_ann_cdc')}/ivf", n_partitions=8)
+    idx.train_on(spark, emb, "base", n_centroids=8, iters=0)
+
+    i = F.col("vec_id")
+    dels = (emb.filter(i % 100 == 7)
+            .select("vec_id", F.lit("D").alias("op"),
+                    F.lit(None).cast("array<float>").alias("embedding"),
+                    F.col("embedding").alias("embedding_pre")))
+    upds = (emb.alias("e").filter(F.col("e.vec_id") % 100 == 11)
+            .join(emb.alias("b"),
+                  F.col("b.vec_id") == F.col("e.vec_id") - 10)
+            .select(F.col("e.vec_id").alias("vec_id"),
+                    F.lit("U").alias("op"),
+                    F.col("b.embedding").alias("embedding"),
+                    F.col("e.embedding").alias("embedding_pre")))
+    ins = (emb.filter(i % 100 == 0)
+           .select((i + 100000).alias("vec_id"), F.lit("I").alias("op"),
+                   F.col("embedding"),
+                   F.lit(None).cast("array<float>").alias("embedding_pre")))
+    idx.ingest_changes(spark, dels.unionByName(upds).unionByName(ins), "c1")
+    return idx.assignment(spark).select("vec_id", "centroid", "cos6")
+
+
 @q("ann_ivf_search", "WITH " + _IVF_ASSIGN + f""",
 qv AS (
   SELECT e.vec_id AS qid, e.embedding AS qe, a.cid

@@ -30,9 +30,10 @@ def test_driver_window_is_exactly_50_and_resolves():
 def test_window_covers_the_hard_families():
     w = set(entry_mod._DRIVER_WINDOW)
     for family, members in {
-        "dedup": {"dedup_minhash_lsh", "dedup_lsh_incr",
+        "dedup": {"dedup_minhash_lsh", "dedup_groups_upd",
                   "dedup_groups_cont", "txt_decontaminate"},
-        "ann": {"ann_ivf_search", "ann_ivf_incr", "ann_ivfpq_search"},
+        "ann": {"ann_ivf_search", "ann_ivf_incr", "ann_ivf_cdc",
+                "ann_ivfpq_search"},
         "table-format": {"src_cdctable_read_mor", "txn_sql_atomic",
                          "ddl_alter_lifecycle", "ivm_incremental_agg"},
         "flagship": {"cdc_replay_full", "j1_merge_full_outer"},
