@@ -116,6 +116,29 @@ def with_ppm_payload(df: DataFrame, text_col: str = "text",
         out_col, F.concat(F.encode(header, "utf-8"), F.unhex(hex_body)))
 
 
+def _parse_ppm(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """Parse a binary P6 PPM: ``(width, height, maxval, raster)`` for a
+    well-formed payload whose raster is exactly width*height*3 bytes,
+    else None. The single header parser shared by ``decode_ppm_meta``
+    and ``resize_payload`` — the two must agree on what "a real PPM"
+    means or resize would invent dimensions the decoder refutes."""
+    try:
+        if b[:3] != b"P6\n":
+            return None
+        # header: "P6\n<w> <h>\n<maxval>\n" then raster
+        nl2 = b.index(b"\n", 3)
+        nl3 = b.index(b"\n", nl2 + 1)
+        ws, hs = b[3:nl2].split(b" ")
+        w, hgt = int(ws), int(hs)
+        maxval = int(b[nl2 + 1:nl3])
+        raster = b[nl3 + 1:]
+        if len(raster) == w * hgt * 3 and w > 0 and hgt > 0:
+            return w, hgt, maxval, raster
+    except (ValueError, IndexError):
+        pass   # malformed header/raster
+    return None
+
+
 def decode_ppm_meta(df: DataFrame, payload_col: str = "payload",
                     id_col: str = "doc_id") -> DataFrame:
     """REAL byte decode of P6 PPM payloads through the same Arrow
@@ -137,22 +160,12 @@ def decode_ppm_meta(df: DataFrame, payload_col: str = "payload",
                 row = dict(doc_id=int(did), n_bytes=len(b), width=None,
                            height=None, maxval=None, fmt=None, ok=False,
                            px_first=None, px_last=None)
-                try:
-                    if b[:3] == b"P6\n":
-                        # header: "P6\n<w> <h>\n<maxval>\n" then raster
-                        nl2 = b.index(b"\n", 3)
-                        nl3 = b.index(b"\n", nl2 + 1)
-                        ws, hs = b[3:nl2].split(b" ")
-                        w, hgt = int(ws), int(hs)
-                        maxval = int(b[nl2 + 1:nl3])
-                        raster = b[nl3 + 1:]
-                        if len(raster) == w * hgt * 3 and w > 0 and hgt > 0:
-                            row.update(width=w, height=hgt, maxval=maxval,
-                                       fmt="ppm", ok=True,
-                                       px_first=raster[0],
-                                       px_last=raster[-1])
-                except (ValueError, IndexError):
-                    pass   # malformed header/raster: stays ok=False
+                parsed = _parse_ppm(b)
+                if parsed is not None:
+                    w, hgt, maxval, raster = parsed
+                    row.update(width=w, height=hgt, maxval=maxval,
+                               fmt="ppm", ok=True, px_first=raster[0],
+                               px_last=raster[-1])
                 for k, v in row.items():
                     out[k].append(v)
             o = pd.DataFrame(out)
@@ -188,28 +201,55 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
 
 def resize_payload(df: DataFrame, payload_col: str = "payload",
                    id_col: str = "doc_id", target: int = 256) -> DataFrame:
-    """Resize stub: downsample the binary payload by a deterministic byte
-    stride so the 'image' fits ``target`` width (the real seam would call a
-    codec's resample; the Spark-side shape — binary in, binary + new
-    metadata out through one Arrow-batched pass — is identical). Stride =
-    ceil(width / target); resized payload = every stride-th byte."""
+    """Downsample binary image payloads to fit ``target`` width through
+    one Arrow-batched pass (binary in, binary + new metadata out).
+
+    A payload that IS a well-formed P6 PPM (``_parse_ppm``) is resized
+    HONESTLY: stride = ceil(width / target) over the parsed header's
+    dimensions, every stride-th pixel of every stride-th row of the
+    actual raster (numpy slicing — no per-byte Python), re-encoded as a
+    valid P6 whose header carries the real output dimensions, so
+    ``decode_ppm_meta(resized)`` round-trips. Any other payload keeps the
+    legacy fake tier (byte-stride over the whole blob, fake-decoder width
+    arithmetic) so the codec-less dataflow stays exercised end-to-end —
+    a production deployment plugs png/jpeg into the same branch."""
+    import numpy as np
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = pdf[payload_col].map(len).astype("int64")
-            width = (64 + n % 512).astype("int64")       # fake-decoder width
-            height = (64 + (n * 7) % 512).astype("int64")
-            stride = ((width + target - 1) // target).clip(lower=1)
-            resized = [bytes(b[::s]) for b, s in zip(pdf[payload_col], stride)]
-            yield pd.DataFrame({
-                "doc_id": pdf[id_col].astype("int64"),
-                "orig_bytes": n,
-                "stride": stride.astype("int32"),
-                "resized": resized,
-                "resized_bytes": pd.Series([len(r) for r in resized], dtype="int64"),
-                "out_w": (width // stride).astype("int32"),
-                "out_h": (height // stride).astype("int32"),
-            })
+            out = {k: [] for k in ("doc_id", "orig_bytes", "stride",
+                                   "resized", "resized_bytes", "out_w",
+                                   "out_h")}
+            for did, blob in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(blob) if blob is not None else b""
+                parsed = _parse_ppm(b)
+                if parsed is not None:
+                    w, hgt, maxval, raster = parsed
+                    s = max(1, -(-w // target))
+                    arr = (np.frombuffer(raster, dtype=np.uint8)
+                           .reshape(hgt, w, 3)[::s, ::s, :])
+                    oh, ow = arr.shape[0], arr.shape[1]
+                    rb = (f"P6\n{ow} {oh}\n{maxval}\n".encode()
+                          + arr.tobytes())
+                else:   # fake tier: blob-level byte stride
+                    w = 64 + len(b) % 512
+                    hgt = 64 + (len(b) * 7) % 512
+                    s = max(1, -(-w // target))
+                    rb = b[::s]
+                    ow, oh = w // s, hgt // s
+                out["doc_id"].append(int(did))
+                out["orig_bytes"].append(len(b))
+                out["stride"].append(s)
+                out["resized"].append(rb)
+                out["resized_bytes"].append(len(rb))
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+            o = pd.DataFrame(out)
+            o["orig_bytes"] = o["orig_bytes"].astype("int64")
+            o["resized_bytes"] = o["resized_bytes"].astype("int64")
+            for c in ("stride", "out_w", "out_h"):
+                o[c] = o[c].astype("int32")
+            yield o
 
     return df.select(id_col, payload_col).mapInPandas(
         resize, "doc_id bigint, orig_bytes bigint, stride int, resized binary, "

@@ -23,11 +23,16 @@ def topk_hot_keys(events: DataFrame, keys=("repo",), k: int = 20) -> DataFrame:
             .orderBy(F.desc("n"), *keys).limit(k))
 
 
+MAX_DISTINCT_VALUES = 2_000_000   # ~30 MB of (value, start) pairs driver-side
+
+
 def exact_ntile(counts: DataFrame, k: int, value_col: str = "n",
                 tiebreak_cols: Sequence[str] = ("user_id",),
                 descending: bool = True,
                 max_group_rows: int = 10_000_000,
-                range_buckets: int = 64) -> DataFrame:
+                range_buckets: int = 64,
+                max_distinct_values: int | None = MAX_DISTINCT_VALUES
+                ) -> DataFrame:
     """Exact ``ntile(k) OVER (ORDER BY value DESC, tiebreaks)`` WITHOUT a
     single-partition global window.
 
@@ -47,11 +52,29 @@ def exact_ntile(counts: DataFrame, k: int, value_col: str = "n",
     single tiebreak column for the range split; multi-column tiebreaks
     fall back to the per-value window.
 
-    ``counts`` is consumed by several jobs — persist it at scale."""
-    freq = sorted(
-        ((r[0], r[1]) for r in
-         counts.groupBy(value_col).agg(F.count(F.lit(1)).alias("c")).collect()),
-        key=lambda t: t[0], reverse=descending)
+    ``counts`` is consumed by several jobs — persist it at scale.
+
+    The frequency-table collect assumes the value column is REDUCED (an
+    aggregate like a per-key count: few distinct values, arbitrary
+    rows). ``max_distinct_values`` enforces that assumption — a
+    high-cardinality value column (e.g. a raw float score) fails fast
+    with a pointer to the windowed alternative instead of OOMing the
+    driver (``guard_quadratic`` convention: pass None to force)."""
+    fr = counts.groupBy(value_col).agg(F.count(F.lit(1)).alias("c"))
+    if max_distinct_values is not None:
+        fr = fr.localCheckpoint(eager=True)   # counted + collected below
+        n_distinct = fr.count()
+        if n_distinct > max_distinct_values:
+            raise ValueError(
+                f"exact_ntile: value column {value_col!r} has "
+                f"{n_distinct:,} distinct values (> max_distinct_values="
+                f"{max_distinct_values:,}) — the driver-side frequency "
+                f"table assumes a REDUCED value column; use a global "
+                f"ntile window (repartitionByRange + per-range ranks) "
+                f"for high-cardinality values, or pass "
+                f"max_distinct_values=None to force")
+    freq = sorted(((r[0], r[1]) for r in fr.collect()),
+                  key=lambda t: t[0], reverse=descending)
     n_total = sum(c for _, c in freq)
     starts, acc = [], 1
     for v, c in freq:

@@ -284,3 +284,54 @@ def test_verify_table_detects_cross_commit_move(spark, tmp_path):
     # form; the cross-commit form is exactly why this check exists)
     strict = CdcTable.open(t.root)
     assert strict.enforce_part_cols
+
+
+# -- honest PPM resize (VERDICT r4 next-round #5) -------------------------------
+
+def test_resize_payload_honest_for_ppm(spark):
+    """A real P6 payload is resized over its PARSED raster (header dims,
+    2-D pixel stride) and re-encoded as a valid PPM; non-PPM payloads
+    keep the fake-tier byte arithmetic."""
+    from cdc.mm import decode_ppm_meta, resize_payload, with_ppm_payload
+
+    d = spark.createDataFrame([(10, "abc" * 9)], "doc_id long, text string")
+    # id 10 -> w = 10%24+8 = 18, h = (70%24)+8 = 30; target 8 -> stride 3
+    src = with_ppm_payload(d)
+    out = resize_payload(src, target=8).collect()[0]
+    assert out["stride"] == 3
+    assert (out["out_w"], out["out_h"]) == (6, 10)  # ceil(18/3), ceil(30/3)
+    rd = decode_ppm_meta(
+        spark.createDataFrame([(10, bytes(out["resized"]))],
+                              "doc_id long, payload binary")).collect()[0]
+    assert rd["ok"] and (rd["width"], rd["height"]) == (6, 10)
+    base = len("abc" * 9) % 256
+    assert rd["px_first"] == base                       # pixel (0,0) survives
+    # last sampled pixel: row 27, col 15 of the 18-wide raster, blue channel
+    assert rd["px_last"] == (base + (27 * 18 + 15) * 3 + 2) % 256
+
+    fake = resize_payload(
+        spark.createDataFrame([(1, "z" * 300)], "doc_id long, text string")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    ).collect()[0]
+    assert fake["stride"] == 2 and fake["resized_bytes"] == 150
+
+
+# -- exact_ntile driver-collect guard (VERDICT r4 next-round #6) -----------------
+
+def test_exact_ntile_guards_unreduced_values(spark):
+    """exact_ntile collects the VALUE-frequency table driver-side — valid
+    only for reduced value columns. A high-cardinality column fails fast
+    with the windowed-fallback pointer instead of OOMing the driver."""
+    from cdc.skew import exact_ntile
+
+    counts = spark.range(500).select(
+        F.col("id").alias("user_id"), F.col("id").alias("n"))
+    with pytest.raises(ValueError, match="distinct values"):
+        exact_ntile(counts, 10, tiebreak_cols=("user_id",),
+                    max_distinct_values=100)
+    # forcing through (and the default bound) still computes exact tiles
+    out = exact_ntile(counts, 10, tiebreak_cols=("user_id",),
+                      max_distinct_values=None)
+    sizes = {r["ntile"]: r["c"] for r in
+             out.groupBy("ntile").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert sizes == {i: 50 for i in range(1, 11)}
