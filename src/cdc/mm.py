@@ -177,6 +177,196 @@ def decode_ppm_meta(df: DataFrame, payload_col: str = "payload",
                                                       PPM_META_SCHEMA)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def with_png_payload(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     out_col: str = "payload") -> DataFrame:
+    """Materialize a REAL compressed PNG payload (stdlib zlib — no codec
+    library): 8-bit RGB, non-interlaced, raster = the same deterministic
+    ``(len(text) + k) % 256`` ramp as ``with_ppm_payload`` so an oracle
+    predicts every decoded pixel. Row r is filtered with type ``r % 5``
+    (None/Sub/Up/Average/Paeth), so a decoder that skips unfiltering —
+    or fakes any of the five filters — decodes garbage. Built in one
+    Arrow ``mapInPandas`` pass (encode is a test fixture, the engine
+    surface under test is the DECODE path)."""
+    import struct
+    import zlib
+
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                w = did % 24 + 8
+                h = (did * 7) % 24 + 8
+                base = len(txt) % 256
+                px = ((np.arange(w * h * 3) + base) % 256) \
+                    .astype(np.uint8).reshape(h, w * 3)
+                bpp = 3
+                out = bytearray()
+                prev = np.zeros(w * 3, dtype=np.uint8)
+                for r in range(h):
+                    row = px[r]
+                    ft = r % 5
+                    left = np.concatenate(
+                        [np.zeros(bpp, np.uint8), row[:-bpp]])
+                    ul = np.concatenate(
+                        [np.zeros(bpp, np.uint8), prev[:-bpp]])
+                    if ft == 0:
+                        filt = row
+                    elif ft == 1:
+                        filt = row - left
+                    elif ft == 2:
+                        filt = row - prev
+                    elif ft == 3:
+                        filt = row - ((left.astype(np.uint16)
+                                       + prev) // 2).astype(np.uint8)
+                    else:
+                        pred = np.fromiter(
+                            (_paeth(int(a), int(b), int(c))
+                             for a, b, c in zip(left, prev, ul)),
+                            dtype=np.uint8, count=w * 3)
+                        filt = row - pred
+                    out.append(ft)
+                    out += filt.astype(np.uint8).tobytes()
+                    prev = row
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                payloads.append(PNG_MAGIC + _chunk(b"IHDR", ihdr)
+                                + _chunk(b"IDAT", zlib.compress(bytes(out)))
+                                + _chunk(b"IEND", b""))
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                text_col: pdf[text_col],
+                                out_col: payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        encode, f"doc_id bigint, {text_col} string, {out_col} binary")
+
+
+def _parse_png(b: bytes) -> tuple[int, int, bytes] | None:
+    """REAL PNG decode with the standard library alone: chunk walk, IHDR
+    parse, zlib-inflate of the IDAT stream, and full scanline
+    UNFILTERING (all five filter types incl. Paeth). Supports the 8-bit
+    RGB non-interlaced profile; anything else (palette, alpha, 16-bit,
+    Adam7) returns None — the documented production seam plugs a full
+    codec into the same branch. Returns (width, height, raster) with
+    raster in the same row-major RGB layout ``_parse_ppm`` yields."""
+    import struct
+    import zlib
+
+    import numpy as np
+    try:
+        if b[:8] != PNG_MAGIC:
+            return None
+        pos, w = 8, None
+        idat = bytearray()
+        while pos + 8 <= len(b):
+            ln, typ = struct.unpack(">I4s", b[pos:pos + 8])
+            data = b[pos + 8:pos + 8 + ln]
+            if len(data) != ln:
+                return None
+            pos += 12 + ln   # length + type + data + crc
+            if typ == b"IHDR":
+                w, h, depth, ctype, comp, filt, inter = \
+                    struct.unpack(">IIBBBBB", data)
+                if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                    return None   # outside the supported profile
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = w * 3
+        if len(raw) != h * (stride + 1):
+            return None
+        bpp = 3
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for r in range(h):
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride,
+                offset=r * (stride + 1) + 1)
+            ft = raw[r * (stride + 1)]
+            if ft == 0:
+                row = line.copy()
+            elif ft == 2:                      # Up: vectorized
+                row = line + prev
+            elif ft in (1, 3, 4):              # Sub/Average/Paeth:
+                row = line.copy()              # sequential in x by spec
+                for x in range(stride):
+                    a = int(row[x - bpp]) if x >= bpp else 0
+                    if ft == 1:
+                        row[x] = (int(line[x]) + a) & 0xFF
+                    elif ft == 3:
+                        row[x] = (int(line[x])
+                                  + (a + int(prev[x])) // 2) & 0xFF
+                    else:
+                        bb, c = int(prev[x]), \
+                            (int(prev[x - bpp]) if x >= bpp else 0)
+                        p = a + bb - c
+                        pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                        pr = a if pa <= pb and pa <= pc else \
+                            (bb if pb <= pc else c)
+                        row[x] = (int(line[x]) + pr) & 0xFF
+            else:
+                return None
+            out[r] = row
+            prev = row
+        return w, h, out.tobytes()
+    except (ValueError, IndexError, zlib.error, struct.error):
+        return None
+
+
+def decode_png_meta(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "doc_id") -> DataFrame:
+    """REAL compressed-image decode through the Arrow ``mapInPandas``
+    seam (same output schema as ``decode_ppm_meta``; fmt='png',
+    maxval=255): chunk walk + IHDR + zlib inflate + scanline unfilter.
+    Non-PNG / unsupported-profile payloads come back ok=false with NULL
+    metadata — never poisoning the batch."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_bytes", "width", "height",
+                                   "maxval", "fmt", "ok", "px_first",
+                                   "px_last")}
+            for did, blob in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(blob) if blob is not None else b""
+                row = dict(doc_id=int(did), n_bytes=len(b), width=None,
+                           height=None, maxval=None, fmt=None, ok=False,
+                           px_first=None, px_last=None)
+                parsed = _parse_png(b)
+                if parsed is not None:
+                    w, hgt, raster = parsed
+                    row.update(width=w, height=hgt, maxval=255,
+                               fmt="png", ok=True, px_first=raster[0],
+                               px_last=raster[-1])
+                for k, v in row.items():
+                    out[k].append(v)
+            o = pd.DataFrame(out)
+            for c in ("width", "height", "maxval", "px_first", "px_last"):
+                o[c] = o[c].astype("Int32")
+            yield o
+
+    return df.select(id_col, payload_col).mapInPandas(decode,
+                                                      PPM_META_SCHEMA)
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload",
                   id_col: str = "doc_id", every_n_bytes: int = 1024) -> DataFrame:
     """Frame-sampling stub: emit one row per sampled 'frame' (1 -> N rows

@@ -71,6 +71,37 @@ def mm_decode_ppm(spark, sf_dir):
     return decode_image_meta(with_ppm_payload(d), fake=False)
 
 
+@q("mm_decode_png", """
+WITH m AS (
+  SELECT doc_id,
+         CAST(doc_id % 24 + 8 AS INT) AS width,
+         CAST((doc_id * 7) % 24 + 8 AS INT) AS height,
+         length(text) % 256 AS base
+  FROM documents
+), n AS (
+  SELECT doc_id, width, height, base, width * height * 3 AS n_px FROM m
+)
+SELECT doc_id, width, height, CAST(255 AS INT) AS maxval, 'png' AS fmt,
+       true AS ok,
+       CAST(base AS INT) AS px_first,
+       CAST((base + n_px - 1) % 256 AS INT) AS px_last
+FROM n
+""")
+def mm_decode_png(spark, sf_dir):
+    """REAL COMPRESSED image decode, no codec library: each document
+    becomes an actual zlib-compressed PNG (8-bit RGB, per-row filter
+    types cycling through None/Sub/Up/Average/Paeth), and
+    ``cdc.mm.decode_png_meta`` walks the chunks, inflates the IDAT
+    stream and UNFILTERS every scanline to recover true pixels. The
+    oracle predicts the decoded dims and the first/last raster byte
+    arithmetically — a decoder that skips inflation or fakes any of the
+    five filters hash-mismatches. (The compressed byte COUNT is the one
+    non-arithmetic field, so n_bytes is dropped from the compare.)"""
+    from cdc.mm import decode_png_meta, with_png_payload
+    d = load(spark, sf_dir, "documents")
+    return decode_png_meta(with_png_payload(d)).drop("n_bytes")
+
+
 @q("mm_resize_ppm", """
 WITH m AS (
   SELECT doc_id,

@@ -335,3 +335,38 @@ def test_exact_ntile_guards_unreduced_values(spark):
     sizes = {r["ntile"]: r["c"] for r in
              out.groupBy("ntile").agg(F.count(F.lit(1)).alias("c")).collect()}
     assert sizes == {i: 50 for i in range(1, 11)}
+
+
+# -- real compressed PNG decode (closes the codec seam for one format) ----------
+
+def test_png_roundtrip_and_malformed(spark):
+    """with_png_payload emits genuine zlib-compressed PNGs (per-row
+    filters cycle all 5 types); decode_png_meta inflates + unfilters back
+    to exact pixels. Truncation, bad magic and unsupported profiles come
+    back ok=false instead of raising."""
+    from cdc.mm import PNG_MAGIC, decode_png_meta, with_png_payload
+
+    d = spark.createDataFrame([(9, "qrs" * 11), (40, "x")],
+                              "doc_id long, text string")
+    enc = {r["doc_id"]: bytes(r["payload"]) for r in
+           with_png_payload(d).collect()}
+    assert all(p[:8] == PNG_MAGIC for p in enc.values())
+    good = decode_png_meta(
+        spark.createDataFrame([(k, v) for k, v in enc.items()],
+                              "doc_id long, payload binary"))
+    rows = {r["doc_id"]: r for r in good.collect()}
+    # id 9 -> 17x23 (h tall enough that rows hit every filter type)
+    assert (rows[9]["width"], rows[9]["height"]) == (17, 23)
+    base = (len("qrs" * 11)) % 256
+    assert rows[9]["px_first"] == base
+    assert rows[9]["px_last"] == (base + 17 * 23 * 3 - 1) % 256
+    assert rows[40]["ok"] and rows[40]["fmt"] == "png"
+
+    bad = [(1, enc[9][:40]),                       # truncated mid-chunk
+           (2, b"\x89PNX" + enc[9][4:]),           # bad magic
+           (3, enc[9][:30] + b"\x00" * 20),        # IDAT garbage
+           (4, None)]                              # NULL payload
+    out = {r["doc_id"]: r for r in decode_png_meta(
+        spark.createDataFrame(bad, "doc_id long, payload binary")).collect()}
+    assert not any(out[i]["ok"] for i in (1, 2, 3, 4))
+    assert out[2]["width"] is None
