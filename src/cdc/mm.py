@@ -394,15 +394,18 @@ def resize_payload(df: DataFrame, payload_col: str = "payload",
     """Downsample binary image payloads to fit ``target`` width through
     one Arrow-batched pass (binary in, binary + new metadata out).
 
-    A payload that IS a well-formed P6 PPM (``_parse_ppm``) is resized
-    HONESTLY: stride = ceil(width / target) over the parsed header's
+    A payload that IS a well-formed P6 PPM (``_parse_ppm``) or a
+    supported PNG (``_parse_png`` — inflate + unfilter) is resized
+    HONESTLY: stride = ceil(width / target) over the parsed
     dimensions, every stride-th pixel of every stride-th row of the
     actual raster (numpy slicing — no per-byte Python), re-encoded as a
     valid P6 whose header carries the real output dimensions, so
-    ``decode_ppm_meta(resized)`` round-trips. Any other payload keeps the
-    legacy fake tier (byte-stride over the whole blob, fake-decoder width
-    arithmetic) so the codec-less dataflow stays exercised end-to-end —
-    a production deployment plugs png/jpeg into the same branch."""
+    ``decode_ppm_meta(resized)`` round-trips (downsample output format
+    is raw P6 regardless of input codec — re-compression is a policy the
+    caller owns). Any other payload keeps the legacy fake tier
+    (byte-stride over the whole blob, fake-decoder width arithmetic) so
+    the codec-less dataflow stays exercised end-to-end — a production
+    deployment plugs jpeg into the same branch."""
     import numpy as np
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -413,6 +416,10 @@ def resize_payload(df: DataFrame, payload_col: str = "payload",
             for did, blob in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(blob) if blob is not None else b""
                 parsed = _parse_ppm(b)
+                if parsed is None:
+                    png = _parse_png(b)
+                    if png is not None:
+                        parsed = (png[0], png[1], 255, png[2])
                 if parsed is not None:
                     w, hgt, maxval, raster = parsed
                     s = max(1, -(-w // target))

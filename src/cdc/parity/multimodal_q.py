@@ -145,6 +145,46 @@ def mm_resize_ppm(spark, sf_dir):
                                     F.col("resized").alias("payload")))
 
 
+@q("mm_resize_png", """
+WITH m AS (
+  SELECT doc_id,
+         doc_id % 24 + 8 AS w,
+         (doc_id * 7) % 24 + 8 AS h,
+         length(text) % 256 AS base
+  FROM documents
+), s AS (
+  SELECT doc_id, w, h, base, CAST(ceil(w / 8.0) AS BIGINT) AS st FROM m
+), o AS (
+  SELECT doc_id, w, h, base, st,
+         (w + st - 1) // st AS ow, (h + st - 1) // st AS oh,
+         ((h - 1) // st) * st AS rmax, ((w - 1) // st) * st AS cmax
+  FROM s
+)
+SELECT doc_id,
+       CAST(3 + length(CAST(ow AS VARCHAR)) + 1
+              + length(CAST(oh AS VARCHAR)) + 5 + ow * oh * 3 AS BIGINT)
+         AS n_bytes,
+       CAST(ow AS INT) AS width, CAST(oh AS INT) AS height,
+       CAST(255 AS INT) AS maxval, 'ppm' AS fmt, true AS ok,
+       CAST(base AS INT) AS px_first,
+       CAST((base + (rmax * w + cmax) * 3 + 2) % 256 AS INT) AS px_last
+FROM o
+""")
+def mm_resize_png(spark, sf_dir):
+    """HONEST resize of COMPRESSED payloads: every document becomes a
+    real zlib-compressed PNG, ``resize_payload`` inflates + unfilters it
+    (``_parse_png``) before the 2-D pixel stride, and the output is a
+    valid P6 re-verified through the real PPM decoder. The oracle is the
+    same arithmetic as ``mm_resize_ppm`` (identical raster generator) —
+    a resize that falls back to the fake byte-stride tier on compressed
+    input hash-mismatches on every field."""
+    from cdc.mm import decode_ppm_meta, resize_payload, with_png_payload
+    d = load(spark, sf_dir, "documents")
+    r = resize_payload(with_png_payload(d), target=8)
+    return decode_ppm_meta(r.select("doc_id",
+                                    F.col("resized").alias("payload")))
+
+
 @q("mm_sample_frames", """
 WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
 f AS (

@@ -370,3 +370,23 @@ def test_png_roundtrip_and_malformed(spark):
         spark.createDataFrame(bad, "doc_id long, payload binary")).collect()}
     assert not any(out[i]["ok"] for i in (1, 2, 3, 4))
     assert out[2]["width"] is None
+
+
+def test_resize_payload_honest_for_png(spark):
+    """resize_payload decodes a genuine PNG (inflate + unfilter) before
+    the 2-D pixel stride — the output is a valid P6 whose dims and
+    sampled pixels match the PPM path exactly (same raster generator),
+    so the honest tier covers both the raw and the compressed codec."""
+    from cdc.mm import decode_ppm_meta, resize_payload, with_png_payload
+
+    d = spark.createDataFrame([(10, "abc" * 9)], "doc_id long, text string")
+    # id 10 -> w = 18, h = 30; target 8 -> stride 3 (same as the PPM test)
+    out = resize_payload(with_png_payload(d), target=8).collect()[0]
+    assert (out["out_w"], out["out_h"]) == (6, 10)
+    rd = decode_ppm_meta(
+        spark.createDataFrame([(10, bytes(out["resized"]))],
+                              "doc_id long, payload binary")).collect()[0]
+    base = len("abc" * 9) % 256
+    assert rd["ok"] and (rd["width"], rd["height"]) == (6, 10)
+    assert rd["px_first"] == base
+    assert rd["px_last"] == (base + (27 * 18 + 15) * 3 + 2) % 256
