@@ -37,6 +37,6 @@ def test_window_covers_the_hard_families():
         "table-format": {"src_cdctable_read_mor", "txn_sql_atomic",
                          "ddl_alter_lifecycle", "ivm_incremental_agg"},
         "flagship": {"cdc_replay_full", "j1_merge_full_outer"},
-        "multimodal": {"mm_decode_ppm"},
+        "multimodal": {"mm_resize_png"},
     }.items():
         assert members <= w, family
