@@ -147,6 +147,7 @@ def _alter_programs(draw):
     return ops
 
 
+@pytest.mark.slow
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(_alter_programs())

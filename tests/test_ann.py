@@ -142,6 +142,7 @@ def _clustered_vecs(spark, n, dim=64, clusters=10):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+@pytest.mark.slow
 def test_pq_adc_recall_against_exact(spark):
     """ADC top-3 must substantially overlap the exact L2 top-3 on
     clustered vectors (recall < 1 by quantization design; unstructured

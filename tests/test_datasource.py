@@ -263,6 +263,7 @@ _OPS = st.lists(st.tuples(st.sampled_from(["cow", "mor", "compact", "branch"]),
                 min_size=2, max_size=5)
 
 
+@pytest.mark.slow
 @given(ops=_OPS)
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,

@@ -93,6 +93,7 @@ def test_index_lookup_prunes_to_one_partition(spark, tmp_path):
         sorted((f"r{i}", f"p{i}") for i in range(3, 56, 7))
 
 
+@pytest.mark.slow
 def test_index_maintainer_streams_in_lockstep(spark, tmp_path):
     """index.maintainer in stream_to_table(downstream=[…]): the index
     advances with every ingest epoch and ends consistent with a

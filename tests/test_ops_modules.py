@@ -493,6 +493,7 @@ _EDGES = st.lists(
     min_size=1, max_size=25).filter(lambda es: any(a != b for a, b in es))
 
 
+@pytest.mark.slow
 @given(es=_EDGES)
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
@@ -508,6 +509,7 @@ def test_star_cc_equals_propagation(spark, es):
     assert a == b
 
 
+@pytest.mark.slow
 @given(es=_EDGES, cut=st.integers(min_value=0, max_value=25))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,

@@ -4,6 +4,7 @@ invariant state+patches == full-history fold."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc.merge import empty_state
@@ -294,6 +295,7 @@ _PBATCHES = st.lists(st.lists(_PEV, min_size=1, max_size=4),
                      min_size=1, max_size=4)
 
 
+@pytest.mark.slow
 @given(batches=_PBATCHES)
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,

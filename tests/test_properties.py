@@ -71,6 +71,7 @@ def oracle(events, lsn0=1):
     return {(p, v[0], v[1]) for p, v in st_.items() if v is not None}
 
 
+@pytest.mark.slow
 @given(events=EVENTS, cut=st.integers(min_value=0, max_value=11))
 @SETTINGS
 def test_permutation_invariance(spark, events, cut):
@@ -85,6 +86,7 @@ def test_permutation_invariance(spark, events, cut):
     assert live_set(whole) == live_set(split) == oracle(events)
 
 
+@pytest.mark.slow
 @given(events=EVENTS)
 @SETTINGS
 def test_idempotency(spark, events):

@@ -71,6 +71,7 @@ def _mkv(spark, ids):
                                  "vec_id long, embedding array<float>")
 
 
+@pytest.mark.slow
 def test_continuous_dedup_embed_family(spark, tmp_path):
     """The embedding family: hyperplane-LSH probe + exact-cosine
     confirmation against the standing VECTORS table (partition-pruned
@@ -458,6 +459,7 @@ def test_dedup_tables_opens_legacy_layout(spark, tmp_path):
     assert standing == oneshot and oneshot
 
 
+@pytest.mark.slow
 def test_continuous_dedup_mor_with_compaction_cadence(spark, tmp_path):
     """mode='mor' + compact_every: the stream folds its own delta layers
     on cadence and the drained state still equals one-shot CC."""

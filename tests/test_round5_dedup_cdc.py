@@ -122,6 +122,7 @@ def test_apply_doc_changes_equals_recompute(spark, tmp_path, pipeline):
                      for t in (bands, groups, members)]
 
 
+@pytest.mark.slow
 def test_apply_doc_changes_second_epoch_and_revert(spark, tmp_path, pipeline):
     """A second change epoch on top of the first (revert doc 1 back out of
     the cluster, delete the new duplicate) still equals the recompute —

@@ -277,6 +277,7 @@ from hypothesis import strategies as st  # noqa: E402
 _WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
 
 
+@pytest.mark.slow
 @given(assign=st.lists(st.integers(min_value=0, max_value=2),
                        min_size=6, max_size=14),
        texts=st.lists(st.integers(min_value=0, max_value=4),
