@@ -340,7 +340,13 @@ def retrain_into(spark: SparkSession, old: IvfIndex, new_root: str,
     old_cb = old.pq_codebooks(spark)
     if old_cb is not None and pq_m is None:
         pq_m, pq_k = len(old_cb), len(old_cb[0])
+    if old_cb is not None:
+        dim = len(old_cb) * len(old_cb[0][0])
+    else:
+        # no codebooks to derive geometry from — measure the standing
+        # embeddings (a hardcoded default would mis-slice PQ subspaces
+        # when the caller ADDS pq_m at retrain time on non-default dims)
+        dim = len(vecs.select("embedding").first()["embedding"])
     new.train_on(spark, vecs, key, n_centroids=n_centroids, iters=iters,
-                 pq_m=pq_m, pq_k=pq_k if pq_k is not None else 16,
-                 dim=(len(old_cb) * len(old_cb[0][0]) if old_cb else 64))
+                 pq_m=pq_m, pq_k=pq_k if pq_k is not None else 16, dim=dim)
     return new

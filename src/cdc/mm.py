@@ -288,7 +288,7 @@ def _parse_png(b: bytes) -> tuple[int, int, bytes] | None:
                 idat += data
             elif typ == b"IEND":
                 break
-        if w is None or not idat:
+        if not w or not h or not idat:   # zero-dim IHDR is malformed too
             return None
         raw = zlib.decompress(bytes(idat))
         stride = w * 3

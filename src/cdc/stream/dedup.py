@@ -443,8 +443,10 @@ def apply_doc_changes(spark: SparkSession, bands: CdcTable,
     idc, pay = family.id_col, family.payload_col
     pre = f"{pay}_pre"
     gkey = f"{key}-groups"
-    if (bands.is_committed(f"{key}-retire")
-            and bands.is_committed(f"{key}-bands")
+    # '-retire' is NOT part of the fast path: it only commits when the
+    # epoch retired rows, and it commits strictly BEFORE '-bands' — so a
+    # committed '-bands' already implies the retire half is durable.
+    if (bands.is_committed(f"{key}-bands")
             and groups.is_committed(gkey) and family.is_prepared(key)):
         if members is not None:
             from cdc import index

@@ -231,23 +231,32 @@ class CdcTable:
         why the cross-commit form is verify_table's job)."""
         live = F.col("op") != "D"
         key_s = F.when(live, F.struct(*[F.col(c) for c in self.key_cols]))
-        kp_s = F.when(live, F.struct(*[F.col(c) for c in self.key_cols],
-                                     F.col(PART_COL)))
+        # compare the part-column VALUES, not the derived partition id:
+        # two values that collide mod n_partitions are still a contract
+        # violation (the batch would emit two live rows for one key), and
+        # the raised message promises value-level enforcement
+        kp_s = F.when(live, F.struct(
+            *[F.col(c) for c in self.key_cols],
+            *[F.col(c) for c in self._part_beyond_key()]))
         nulls = [F.col(c).isNull() for c in self._part_beyond_key()]
         any_null = nulls[0]
         for n in nulls[1:]:
             any_null = any_null | n
-        null_part = live & any_null
+        # EVERY row must bind the part columns — a D tombstone with a NULL
+        # routing column would hash somewhere arbitrary and (under MOR,
+        # where reads reconcile per partition) never meet the live row it
+        # is meant to retire: the delete would be silently lost
         return [F.countDistinct(key_s).alias("_g_nk"),
                 F.countDistinct(kp_s).alias("_g_nkp"),
-                F.sum(null_part.cast("long")).alias("_g_null")]
+                F.sum(any_null.cast("long")).alias("_g_null")]
 
     def _check_part_guard(self, row) -> None:
         if (row["_g_null"] or 0) > 0:
             raise ValueError(
-                f"part_cols contract violation: {row['_g_null']} live batch "
+                f"part_cols contract violation: {row['_g_null']} batch "
                 f"rows carry a NULL partition column ({self.part_cols}) — "
-                f"every committed frame must bind them")
+                f"every committed row (tombstones included: they must "
+                f"route to the live row's partition) must bind them")
         if row["_g_nkp"] > row["_g_nk"]:
             raise ValueError(
                 "part_cols contract violation: the batch carries at least "

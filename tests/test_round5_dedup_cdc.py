@@ -290,3 +290,33 @@ def test_continuous_dedup_changes_stream(spark, tmp_path):
                              checkpoint_dir=ckpt, fetch_docs=fetch)
     assert snaps == [t.current_snapshot()["snapshot_id"]
                      for t in (bands, groups)]
+
+
+def test_redelivery_fast_path_without_retire(spark, tmp_path, pipeline):
+    """An epoch that retired nothing never commits '{key}-retire' — the
+    re-delivery fast path must NOT require it ('-retire' commits strictly
+    before '-bands', so a committed '-bands' implies the retire half is
+    durable): a replayed no-retire epoch does zero recompute."""
+    from cdc.stream.dedup import MinhashFamily, apply_doc_changes
+
+    bands, groups, members, docs = pipeline
+
+    class Counting(MinhashFamily):
+        calls = 0
+
+        def bands(self, d):
+            Counting.calls += 1
+            return super().bands(d)
+
+    fam = Counting()
+    docs[100] = "completely fresh words shared with nothing else at all"
+    ch = _changes(spark, [(100, "I", docs[100], None)])   # insert-only
+    fetch = _fetcher(_mk(spark, docs))
+    apply_doc_changes(spark, bands, groups, ch, "cX", family=fam,
+                      fetch_docs=fetch)
+    assert Counting.calls > 0
+    assert not bands.is_committed("cX-retire")    # nothing was retired
+    Counting.calls = 0
+    apply_doc_changes(spark, bands, groups, ch, "cX", family=fam,
+                      fetch_docs=fetch)
+    assert Counting.calls == 0                    # fast path hit

@@ -390,3 +390,65 @@ def test_resize_payload_honest_for_png(spark):
     assert rd["ok"] and (rd["width"], rd["height"]) == (6, 10)
     assert rd["px_first"] == base
     assert rd["px_last"] == (base + (27 * 18 + 15) * 3 + 2) % 256
+
+
+# -- round-5 code-review fixes ---------------------------------------------------
+
+def test_part_guard_compares_values_not_partition_ids(spark, tmp_path):
+    """Two part values that collide mod n_partitions are still an in-batch
+    contract violation (the merge would emit two live rows for one key) —
+    the guard must compare VALUES, not the derived partition id; and a
+    tombstone with a NULL routing column can never meet the live row it
+    retires (silent delete loss under MOR) — refused too."""
+    t = _bands_table(tmp_path)
+    probe = spark.createDataFrame([(1, 0, f"bk{i}") for i in range(40)],
+                                  "doc_id long, band int, bucket string")
+    parts = {r["bucket"]: r["p"]
+             for r in probe.withColumn("p", t.part_of()).collect()}
+    b1 = "bk0"
+    b2 = next(b for b, p in parts.items() if b != b1 and p == parts[b1])
+    two = _band_batch(spark, [(1, 0, b1, 1, "U"), (1, 0, b2, 1, "U")])
+    with pytest.raises(ValueError, match="two different partition values"):
+        t.commit_merge(spark, two, "b0")
+    nul_d = _band_batch(spark, [(1, 0, None, 2, "D")])
+    with pytest.raises(ValueError, match="NULL partition column"):
+        t.commit_delta(spark, nul_d, "b1")
+
+
+def test_png_zero_dim_is_malformed(spark):
+    """A structurally valid PNG whose IHDR declares a zero dimension must
+    come back ok=false (NOT crash the mapInPandas task on raster[0])."""
+    import binascii
+    import struct as _s
+    import zlib
+
+    from cdc.mm import _parse_png, decode_png_meta
+
+    def chunk(typ, data):
+        return (_s.pack(">I", len(data)) + typ + data
+                + _s.pack(">I", binascii.crc32(typ + data)))
+
+    ihdr = _s.pack(">IIBBBBB", 1, 0, 8, 2, 0, 0, 0)   # w=1, h=0
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b""))
+    assert _parse_png(png) is None
+    df = spark.createDataFrame([(1, bytearray(png))],
+                               "doc_id long, payload binary")
+    row = decode_png_meta(df).collect()[0]
+    assert row["ok"] is False and row["width"] is None
+
+
+def test_retrain_adds_pq_on_nondefault_dim(spark, tmp_path):
+    """Adding PQ at retrain time on an index with NO prior codebooks must
+    measure dim from the standing embeddings (a hardcoded 64 would slice
+    16-wide subvectors out of 8-element arrays)."""
+    from cdc.ann import IvfIndex, retrain_into
+
+    idx = IvfIndex(str(tmp_path / "a"), n_partitions=4)
+    idx.train_on(spark, _vecs(spark, range(30)), "t0", n_centroids=2, dim=8)
+    new = retrain_into(spark, idx, str(tmp_path / "b"), n_centroids=2,
+                       pq_m=4, pq_k=4)
+    cb = new.pq_codebooks(spark)
+    assert cb is not None and len(cb) == 4 and len(cb[0]) == 4
+    assert len(cb[0][0]) == 2          # 8 dims / 4 subspaces
+    assert new.search(spark, _vecs(spark, [3]), k=3, adc=True).count() == 3
