@@ -177,6 +177,51 @@ def main() -> None:
         idx.train_on(spark, emb, "base", n_centroids=8, iters=0)
         timed("ann_ivf_ingest_epoch",
               lambda: idx.ingest(spark, new_emb, "epoch-1"))
+
+        # ---- CDC U/D epochs through the standing state (round 5) ----------
+        # one op-typed micro-batch (updates + deletes + inserts with
+        # pre/post images) through apply_doc_changes / ingest_changes — the
+        # retire+insert band netting and affected-component rebuild as a
+        # measured number (standing state from the rows above, untimed).
+        from cdc.stream.dedup import apply_doc_changes
+        upd = (d.filter(F.col("doc_id") % 97 == 0)
+               .select("doc_id", F.lit("U").alias("op"),
+                       F.concat_ws(" ", "text",
+                                   F.lit("round5 edit")).alias("text"),
+                       F.col("text").alias("text_pre")))
+        dele = (d.filter(F.col("doc_id") % 101 == 3)
+                .select("doc_id", F.lit("D").alias("op"),
+                        F.lit(None).cast("string").alias("text"),
+                        F.col("text").alias("text_pre")))
+        ins = (d.filter(F.col("doc_id") % 103 == 5)
+               .select((F.col("doc_id") + 500_000).alias("doc_id"),
+                       F.lit("I").alias("op"), F.col("text"),
+                       F.lit(None).cast("string").alias("text_pre")))
+        changes = (upd.unionByName(dele).unionByName(ins)
+                   .localCheckpoint(eager=True))
+        cur = (d.select("doc_id", "text")
+               .unionByName(batch_docs.select("doc_id", "text"))
+               .join(changes.select("doc_id"), "doc_id", "left_anti")
+               .unionByName(changes.filter("op != 'D'")
+                            .select("doc_id", "text")))
+        timed("dedup_changes_epoch",
+              lambda: apply_doc_changes(
+                  spark, bands_t, groups_t, changes, "cdc-1",
+                  fetch_docs=lambda s, ids: cur.join(ids, "doc_id",
+                                                     "left_semi")))
+
+        vtype = emb.schema["embedding"].dataType
+        vec_upd = (emb.filter(F.col("vec_id") % 37 == 0)
+                   .select("vec_id", F.lit("U").alias("op"),
+                           F.reverse("embedding").alias("embedding"),
+                           F.col("embedding").alias("embedding_pre")))
+        vec_del = (emb.filter(F.col("vec_id") % 41 == 1)
+                   .select("vec_id", F.lit("D").alias("op"),
+                           F.lit(None).cast(vtype).alias("embedding"),
+                           F.col("embedding").alias("embedding_pre")))
+        timed("ann_ivf_cdc_epoch",
+              lambda: idx.ingest_changes(
+                  spark, vec_upd.unionByName(vec_del), "cdc-1"))
     finally:
         shutil.rmtree(inc_work, ignore_errors=True)
 

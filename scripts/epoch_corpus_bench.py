@@ -92,48 +92,83 @@ def run_config(spark, scratch: str, corpus_n: int, batch: int,
     return times
 
 
+def run_one(corpus_n: int, batch: int, mode: str, reps: int) -> None:
+    """Child-process entry: one config in a fresh JVM. Isolation matters
+    twice over: py4j JVMs outlive spark.stop() while the parent python
+    lives (CLAUDE.md), and a JVM lost to a long stall (observed: a 230 s
+    heartbeat starvation under background load killed the shared-session
+    run) costs one config, not the whole bench. Timeouts are raised far
+    past the observed pause so a stalled-but-alive JVM recovers."""
+    from cdc.session import get_spark
+    spark = get_spark("epoch-corpus-bench", cores=8, shuffle_partitions=8,
+                      extra_conf={
+                          "spark.network.timeout": "600s",
+                          "spark.executor.heartbeatInterval": "60s",
+                      })
+    scratch = tempfile.mkdtemp(prefix="cdc_epoch_bench_")
+    try:
+        ts = run_config(spark, scratch, corpus_n, batch, reps, mode)
+        print("RESULT " + json.dumps({"corpus": corpus_n, "batch": batch,
+                                      "mode": mode, "reps": ts,
+                                      "min_s": min(ts)}), flush=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", type=int, default=5000)
     ap.add_argument("--big", type=int, default=50000)
     ap.add_argument("--batch", type=int, default=150)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--one", default=None,
+                    help="internal: run one config 'corpus,batch,mode'")
     args = ap.parse_args()
 
-    from cdc.session import get_spark
-    spark = get_spark("epoch-corpus-bench", cores=8, shuffle_partitions=8)
-    scratch = tempfile.mkdtemp(prefix="cdc_epoch_bench_")
-    try:
-        rows = {}
-        # mor = the documented high-frequency micro-batch mode (O(batch)
-        # delta commits); cow measured alongside for honesty — its write
-        # half rewrites touched partitions, which IS corpus-proportional
-        # at a fixed partition count (that trade is why mor exists).
-        for corpus_n, batch, mode in (
-                (args.small, args.batch, "mor"),
-                (args.big, args.batch, "mor"),
-                (args.small, args.batch * 10, "mor"),
-                (args.small, args.batch, "cow"),
-                (args.big, args.batch, "cow")):
-            ts = run_config(spark, scratch, corpus_n, batch, args.reps,
-                            mode)
-            rows[(corpus_n, batch, mode)] = min(ts)
+    if args.one:
+        c, b, m = args.one.split(",")
+        run_one(int(c), int(b), m, args.reps)
+        return
+
+    import subprocess
+    rows = {}
+    # mor = the documented high-frequency micro-batch mode (O(batch)
+    # delta commits); cow measured alongside for honesty — its write
+    # half rewrites touched partitions, which IS corpus-proportional
+    # at a fixed partition count (that trade is why mor exists).
+    for corpus_n, batch, mode in (
+            (args.small, args.batch, "mor"),
+            (args.big, args.batch, "mor"),
+            (args.small, args.batch * 10, "mor"),
+            (args.small, args.batch, "cow"),
+            (args.big, args.batch, "cow")):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--one", f"{corpus_n},{batch},{mode}",
+               "--reps", str(args.reps)]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        res = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if not res:
             print(json.dumps({"corpus": corpus_n, "batch": batch,
-                              "mode": mode, "reps": ts, "min_s": min(ts)}),
-                  flush=True)
-        base = rows[(args.small, args.batch, "mor")]
-        print(json.dumps({
-            "mor_corpus_ratio_10x":
-                round(rows[(args.big, args.batch, "mor")] / base, 3),
-            "mor_batch_ratio_10x":
-                round(rows[(args.small, args.batch * 10, "mor")] / base, 3),
-            "cow_corpus_ratio_10x":
-                round(rows[(args.big, args.batch, "cow")]
-                      / rows[(args.small, args.batch, "cow")], 3),
-        }))
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
-        spark.stop()
+                              "mode": mode, "error": "child failed",
+                              "rc": proc.returncode,
+                              "tail": proc.stderr[-500:]}), flush=True)
+            continue
+        row = json.loads(res[-1][len("RESULT "):])
+        rows[(corpus_n, batch, mode)] = row["min_s"]
+        print(json.dumps(row), flush=True)
+
+    def ratio(a, b):
+        return round(rows[a] / rows[b], 3) if a in rows and b in rows \
+            else None
+    base = (args.small, args.batch, "mor")
+    print(json.dumps({
+        "mor_corpus_ratio_10x": ratio((args.big, args.batch, "mor"), base),
+        "mor_batch_ratio_10x":
+            ratio((args.small, args.batch * 10, "mor"), base),
+        "cow_corpus_ratio_10x": ratio((args.big, args.batch, "cow"),
+                                      (args.small, args.batch, "cow")),
+    }))
 
 
 if __name__ == "__main__":
