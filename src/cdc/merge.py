@@ -77,8 +77,14 @@ def merge_apply(
     retires. The committer passes its non-key part columns here.
     """
     if value_cols is None:
+        # SYS_COLS are stripped from the batch's value derivation too: a
+        # caller that pre-stamped _content_sha256/_lsn (e.g. ran
+        # with_content_sha before commit) must not produce a duplicate
+        # output column name — the system aliases re-stamp them anyway
         batch_vals = [c for c in batch_final.columns
-                      if c not in (*keys, "lsn", "ts", "op", "batch_id", "schema_version")]
+                      if c not in (*keys, *SYS_COLS, "part",
+                                   "lsn", "ts", "op", "batch_id",
+                                   "schema_version")]
         state_vals = [c for c in state.columns
                       if c not in (*keys, *SYS_COLS, "part")]
         value_cols = state_vals + [c for c in batch_vals if c not in state_vals]
@@ -133,7 +139,9 @@ def empty_state(spark, batch_final: DataFrame, keys: Sequence[str] = KEY_COLS,
     merge_apply produces for the given batch shape."""
     if value_cols is None:
         value_cols = [c for c in batch_final.columns
-                      if c not in (*keys, "lsn", "ts", "op", "batch_id", "schema_version")]
+                      if c not in (*keys, *SYS_COLS, "part",
+                                   "lsn", "ts", "op", "batch_id",
+                                   "schema_version")]
     import pyspark.sql.types as T
 
     b = batch_final.schema
@@ -158,8 +166,13 @@ def batch_to_state_rows(batch_final: DataFrame,
     same contract as ``merge_apply``: non-key partition columns survive
     the tombstone so it routes to the live row's partition."""
     if value_cols is None:
+        # strip SYS_COLS (and 'part') here too: a pre-stamped
+        # _content_sha256/_lsn in the batch would duplicate the system
+        # alias below and every later read-by-name becomes ambiguous
         value_cols = [c for c in batch_final.columns
-                      if c not in (*keys, "lsn", "ts", "op", "batch_id", "schema_version")]
+                      if c not in (*keys, *SYS_COLS, "part",
+                                   "lsn", "ts", "op", "batch_id",
+                                   "schema_version")]
     is_del = F.col("op") == "D"
     kept = set(keep_on_delete)
     sha = (F.when(is_del, F.lit(None)).otherwise(F.sha2(F.col("content"), 256))

@@ -73,10 +73,15 @@ def read_current(root: str) -> dict[str, Any] | None:
     return read_snapshot_file(os.path.join(meta_dir(root), name))
 
 
-def read_snapshot_file(path: str) -> dict[str, Any]:
+def read_snapshot_file(path: str, files: bool = True) -> dict[str, Any]:
+    """``files=False`` skips the two-level manifest resolution — for
+    scalar consumers (timestamp time travel, commit listings, expiry
+    scans) that only need snapshot-level fields; resolving every
+    manifest group there is O(snapshots x manifest entries) of wasted
+    file I/O."""
     with open(path) as f:
         snap = json.load(f)
-    if "manifests" in snap and "files" not in snap:
+    if files and "manifests" in snap and "files" not in snap:
         meta = os.path.dirname(path)
         added = set(snap.get("added_paths", ()))
         files: list[dict[str, Any]] = []
@@ -89,8 +94,9 @@ def read_snapshot_file(path: str) -> dict[str, Any]:
     return snap
 
 
-def read_snapshot(root: str, snapshot_id: int) -> dict[str, Any]:
-    return read_snapshot_file(snap_path(root, snapshot_id))
+def read_snapshot(root: str, snapshot_id: int,
+                  files: bool = True) -> dict[str, Any]:
+    return read_snapshot_file(snap_path(root, snapshot_id), files=files)
 
 
 ARTIFACT_REF = "artifact:"
@@ -133,15 +139,33 @@ def read_artifact_ref(root: str, value: str) -> Any:
     return json.loads(value)
 
 
-def list_snapshots(root: str) -> list[dict[str, Any]]:
+def list_snapshots(root: str, files: bool = True) -> list[dict[str, Any]]:
     d = meta_dir(root)
     if not os.path.isdir(d):
         return []
     out = []
     for name in sorted(os.listdir(d)):
         if name.startswith("snap-") and name.endswith(".json"):
-            out.append(read_snapshot_file(os.path.join(d, name)))
+            out.append(read_snapshot_file(os.path.join(d, name),
+                                          files=files))
     return out
+
+
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY: POSIX makes a rename durable only once the
+    containing directory's entry is flushed — without this, a power loss
+    after ``os.replace`` can roll the pointer (an acknowledged commit)
+    back to the parent on reboot."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return   # platform without O_RDONLY dirs — best effort
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 def _fsync_json(path: str, obj: Any) -> None:
@@ -151,6 +175,7 @@ def _fsync_json(path: str, obj: Any) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(path))
 
 
 def _strip_origin(entries: list[dict[str, Any]]) -> list[dict[str, Any]]:
@@ -254,14 +279,21 @@ def write_snapshot(root: str, snap: dict[str, Any],
                 raise CommitConflictError(
                     f"table advanced to snapshot {cur} (expected parent "
                     f"{expected_parent}) — re-read state and retry")
-        _write_snapshot_locked(root, snap, ref=ref)
+        _write_snapshot_locked(root, snap, ref=ref, lock_fd=fd)
     finally:
         _release_commit_lock(root, fd)
 
 
 def _release_commit_lock(root: str, fd: int) -> None:
     lock = os.path.join(meta_dir(root), "_commit.lock")
+    # only unlink OUR lock: if a staleness breaker removed it and another
+    # writer re-created it, unconditionally unlinking would let a THIRD
+    # writer into the critical section alongside the second
+    ours = _holds_commit_lock(root, fd)
+    _LOCK_TOKENS.pop((root, fd), None)
     os.close(fd)
+    if not ours:
+        return
     try:
         os.unlink(lock)
     except OSError:  # a staleness breaker removed it mid-write
@@ -288,6 +320,7 @@ def publish_ref(root: str, ref: str) -> dict[str, Any]:
             raise CommitConflictError(
                 f"table advanced to snapshot {cur} since ref {ref!r} was "
                 f"staged on base {base} — restage on fresh state")
+        _fence(root, fd)
         _swap_pointer(root, name, CURRENT)
         os.unlink(ptr)
         return snap
@@ -340,14 +373,51 @@ STALE_LOCK_SECONDS = 600.0  # a metadata write must finish inside this —
                             # crashed writer and may be broken
 
 
+# token of each HELD lock, keyed (root, fd): lets release/fence verify the
+# lock file on disk is still OURS — a stale-lock breaker may have removed
+# it and a third writer re-created it while we were stalled
+_LOCK_TOKENS: dict = {}
+
+
+def _holds_commit_lock(root: str, fd: int) -> bool:
+    token = _LOCK_TOKENS.get((root, fd))
+    if token is None:
+        return False
+    try:
+        with open(os.path.join(meta_dir(root), "_commit.lock")) as f:
+            return f.read() == token
+    except OSError:
+        return False
+
+
+def _fence(root: str, fd: int) -> None:
+    """Stale-writer fence at the commit point: a writer that stalled past
+    STALE_LOCK_SECONDS may have had its lock broken and ANOTHER writer
+    may have committed meanwhile — swapping the pointer now would roll
+    the table back over an acknowledged commit. Re-checking lock
+    ownership immediately before the swap narrows that window from
+    minutes to microseconds (a single-box best effort; a production
+    catalog CAS closes it completely)."""
+    if not _holds_commit_lock(root, fd):
+        raise CommitConflictError(
+            f"commit lock at {root} was broken while this writer was "
+            f"stalled (held past {STALE_LOCK_SECONDS:.0f}s) — another "
+            f"writer may have advanced the table; re-read state and retry")
+
+
 def _acquire_commit_lock(root: str, timeout: float = 30.0) -> int:
     import time
+    import uuid
     lock = os.path.join(meta_dir(root), "_commit.lock")
     breaker = lock + ".breaker"
     deadline = time.monotonic() + timeout
     while True:
         try:
-            return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            token = uuid.uuid4().hex
+            os.write(fd, token.encode())
+            _LOCK_TOKENS[(root, fd)] = token
+            return fd
         except FileExistsError:
             try:
                 stale = time.time() - os.path.getmtime(lock) > STALE_LOCK_SECONDS
@@ -386,7 +456,8 @@ def _acquire_commit_lock(root: str, timeout: float = 30.0) -> int:
 
 
 def _write_snapshot_locked(root: str, snap: dict[str, Any],
-                           ref: str = CURRENT) -> None:
+                           ref: str = CURRENT,
+                           lock_fd: int | None = None) -> None:
     # Snapshot ids are allocated OPTIMISTICALLY (outside this lock, during
     # the long data-write window), so two staged writers — e.g. two
     # transactions on the same table, or a WAP stage racing a main-line
@@ -433,6 +504,8 @@ def _write_snapshot_locked(root: str, snap: dict[str, Any],
         snap["manifests"] = manifests
 
     _fsync_json(path, snap)
+    if lock_fd is not None:
+        _fence(root, lock_fd)   # stale-writer fence at the commit point
     _swap_pointer(root, os.path.basename(path), ref)
 
 
@@ -444,6 +517,7 @@ def _swap_pointer(root: str, snap_name: str, ref: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(ptr_tmp, ptr)  # the commit point
+    _fsync_dir(meta_dir(root))  # make the rename itself durable
 
 
 def ddl_names(ddl: str) -> list[str]:
@@ -591,11 +665,18 @@ def publish_refs_atomic(
                     f"{root}: table advanced to snapshot {cur} since ref "
                     f"{ref!r} was staged on base {base} — nothing published")
             plan.append({"root": root, "ref": ref, "name": name,
+                         "base": base, "sid": snap["snapshot_id"],
                          "snap": snap})
+        # the intent records each swap's validated CAS base: recovery must
+        # NOT roll a table forward whose pointer moved past that base
+        # after a crash (that would roll acknowledged commits BACK)
         _fsync_json(intent_path, {"swaps": [
-            {"root": p["root"], "ref": p["ref"], "name": p["name"]}
+            {"root": p["root"], "ref": p["ref"], "name": p["name"],
+             "base": p["base"], "sid": p["sid"]}
             for p in plan]})
+        fds = dict(held)
         for p in plan:
+            _fence(p["root"], fds[p["root"]])
             _complete_swap(p["root"], p["ref"], p["name"])
         os.unlink(intent_path)
         return {p["root"]: p["snap"] for p in plan}
@@ -632,6 +713,24 @@ def recover_txn(roots: "list[str]") -> bool:
             return False  # another recoverer finished while we waited
         with open(intent_path) as f:
             intent = json.load(f)
+        # re-validate each swap's CAS base before completing it: a table
+        # whose pointer advanced past the base after the crash (its stale
+        # lock was broken and new commits landed) must NOT be re-pointed
+        # at the staged snapshot — that would erase acknowledged commits.
+        diverged = []
+        for s in intent["swaps"]:
+            cur = current_snapshot_id(s["root"])
+            base, sid = s.get("base"), s.get("sid")
+            if base is not None and cur not in (base, sid):
+                diverged.append(f"{s['root']} (now at {cur}, staged "
+                                f"{sid} on base {base})")
+        if diverged:
+            raise CommitConflictError(
+                "cannot roll the crashed publish forward — these tables "
+                "advanced past the intent's validated base: "
+                + "; ".join(diverged)
+                + ". Resolve by restaging (drop_ref the stale refs and "
+                "remove the intent file by hand).")
         for s in intent["swaps"]:
             _complete_swap(s["root"], s["ref"], s["name"])
         os.unlink(intent_path)

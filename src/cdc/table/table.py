@@ -451,18 +451,47 @@ class CdcTable:
     def tags(self) -> dict[str, int]:
         return store.list_tags(self.root)
 
+    @staticmethod
+    def _ts_utc(v) -> datetime:
+        """Normalize an ISO string or datetime to an aware-UTC datetime —
+        timestamps must be COMPARED as instants, not strings (a non-UTC
+        offset or 'Z' suffix orders wrong lexicographically)."""
+        if isinstance(v, str):
+            v = datetime.fromisoformat(v.replace("Z", "+00:00"))
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=timezone.utc)
+        return v.astimezone(timezone.utc)
+
+    def _published_chain(self) -> list[dict]:
+        """Snapshot dicts of the PUBLISHED lineage (the ``_current``
+        pointer's parent chain, newest first; manifest resolution
+        skipped past the head). Staged write-audit-publish snapshots are
+        files on disk but NOT history until published — they must stay
+        invisible to timestamp time travel."""
+        out: list[dict] = []
+        snap = store.read_current(self.root)
+        while snap is not None:
+            out.append(snap)
+            pid = snap.get("parent_id")
+            if pid is None:
+                break
+            try:
+                snap = store.read_snapshot(self.root, pid, files=False)
+            except (OSError, ValueError):
+                break   # history expired past this point
+        return out
+
     def _resolve_as_of(self, as_of) -> int:
-        """TIMESTAMP AS OF resolution: the newest snapshot whose
+        """TIMESTAMP AS OF resolution: the newest PUBLISHED snapshot whose
         ``committed_ts`` <= ``as_of`` (ISO string or datetime; naive
-        datetimes are taken as UTC). Driver-side over the snapshot JSONs
-        — O(retained history), no data read."""
-        if isinstance(as_of, datetime):
-            if as_of.tzinfo is None:
-                as_of = as_of.replace(tzinfo=timezone.utc)
-            as_of = as_of.astimezone(timezone.utc).isoformat()
+        datetimes are taken as UTC). Walks the ``_current`` parent chain
+        driver-side — O(retained history) snapshot JSONs, no manifest
+        resolution, no data read; staged (unpublished) WAP snapshots are
+        never selected."""
+        want = self._ts_utc(as_of)
         best = None
-        for s in self.snapshots():
-            if s["committed_ts"] <= as_of and (
+        for s in self._published_chain():
+            if self._ts_utc(s["committed_ts"]) <= want and (
                     best is None or s["snapshot_id"] > best["snapshot_id"]):
                 best = s
         if best is None:
@@ -569,8 +598,13 @@ class CdcTable:
                     # valid inside the scan stage, before any shuffle).
                     # anchored to the data dir: a table ROOT containing
                     # 'snap-<digits>' must not shadow the layer id
+                    # greedy .* anchors to the LAST data/snap segment: a
+                    # table ROOT path containing 'data/snap-N' must not
+                    # shadow the real layer id (commit order drives
+                    # equal-lsn tombstone-vs-update resolution)
                     d = d.withColumn("_layer", F.regexp_extract(
-                        F.input_file_name(), r"data/snap-(\d+)[^/]*/", 1).cast("long"))
+                        F.input_file_name(),
+                        r".*/data/snap-(\d+)[^/]*/", 1).cast("long"))
                     if with_patch:
                         d = d.withColumn("_is_patch", F.lit(bool(is_patch)))
                 dfs.append(d)
@@ -656,9 +690,17 @@ class CdcTable:
                 f"cannot locate the partition; use lookup_keys with a "
                 f"probe frame carrying those columns, or read()")
         # evaluate the partition function with Spark's own hash on a local
-        # 1-row relation (no files touched; constant-folds to one task)
+        # 1-row relation (no files touched; constant-folds to one task).
+        # Literals are CAST to the committed schema's column types first:
+        # hash(int 5) != hash(long 5), so an untyped probe literal would
+        # hash to the wrong partition and silently return empty.
+        snap = self.current_snapshot()
+        types = ({f.name: f.dataType
+                  for f in T.StructType.fromDDL(snap["schema_ddl"]).fields}
+                 if snap and snap.get("schema_ddl") else {})
         probe = spark.range(1).select(
-            *[F.lit(key[c]).alias(c) for c in self.key_cols])
+            *[(F.lit(key[c]).cast(types[c]) if c in types
+               else F.lit(key[c])).alias(c) for c in self.key_cols])
         part = probe.select(self.part_of().alias("p")).first()["p"]
         df = self.read(spark, parts=[part])
         if df is None:
@@ -794,10 +836,8 @@ class CdcTable:
         import pyarrow.parquet as pq
 
         ddl = schema_ddl(df.schema, drop=(PART_COL,))
-        data_names = [f.name for f in df.schema.fields if f.name != PART_COL]
-        lsn_idx = data_names.index("_lsn")
-        stat_idx = {c: data_names.index(c) for c in self.stats_cols
-                    if c in data_names}
+        data_names = {f.name for f in df.schema.fields if f.name != PART_COL}
+        stat_names = [c for c in self.stats_cols if c in data_names]
 
         targets = []
         for dname in sorted(os.listdir(out_dir)):
@@ -812,8 +852,17 @@ class CdcTable:
         def footer_entry(t):
             p, dname, name, full = t
             meta = pq.ParquetFile(full).metadata
+            # parquet statistics are per LEAF column: locate columns by
+            # leaf path, not field position — a multi-leaf column (struct,
+            # map) ahead of _lsn would shift positional indices and read
+            # the WRONG column's min/max (corrupting lsn pruning bounds)
+            leaves = list(meta.schema.names)
 
-            def minmax(idx):
+            def minmax(col_name):
+                try:
+                    idx = leaves.index(col_name)
+                except ValueError:
+                    return None, None   # nested/absent: no leaf stats
                 lo, hi = None, None
                 for rg in range(meta.num_row_groups):
                     st = meta.row_group(rg).column(idx).statistics
@@ -822,7 +871,7 @@ class CdcTable:
                         hi = st.max if hi is None else max(hi, st.max)
                 return lo, hi
 
-            lo, hi = minmax(lsn_idx)
+            lo, hi = minmax("_lsn")
             entry = {
                 "path": f"{rel_dir}/{dname}/{name}",
                 "part": p,
@@ -833,10 +882,10 @@ class CdcTable:
                 "origin": "added",
                 "kind": kind,
             }
-            if stat_idx:
+            if stat_names:
                 stats = {}
-                for c, idx in stat_idx.items():
-                    clo, chi = minmax(idx)
+                for c in stat_names:
+                    clo, chi = minmax(c)
                     if clo is not None:
                         stats[c] = [_stat_norm(clo), _stat_norm(chi)]
                 if stats:
